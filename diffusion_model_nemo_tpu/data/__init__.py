@@ -1,0 +1,8 @@
+from .hf_vision_data import (
+    DataLoader,
+    HFVisionDataset,
+    SyntheticVisionDataset,
+    build_dataloader,
+    get_reverse_transform,
+    preprocess_batch,
+)

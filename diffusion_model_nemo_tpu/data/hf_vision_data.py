@@ -1,0 +1,223 @@
+"""Vision data pipeline: HuggingFace datasets → host numpy → device.
+
+Counterpart of the reference's HFVisionDataset + torchvision transforms
+(diffusion_model_nemo/data/hf_vision_data.py), redesigned for TPU:
+
+- the host side only decodes/resizes to **uint8 NHWC** numpy batches
+  (key ``image`` + optional ``label``);
+- normalization to [-1, 1] and random horizontal flip run **on device inside
+  the jitted train step** (:func:`preprocess_batch`) — the north-star
+  "on-device preprocessing";
+- ``synthetic`` datasets provide an offline/egress-free path for tests and
+  benchmarks.
+
+Batch key parity: models consume ``pixel_values`` produced by
+``preprocess_batch`` (same key the reference's transforms emit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import logging
+
+__all__ = [
+    "HFVisionDataset",
+    "SyntheticVisionDataset",
+    "DataLoader",
+    "build_dataloader",
+    "preprocess_batch",
+    "get_reverse_transform",
+]
+
+_IMAGE_KEYS = ("image", "img")
+
+
+def _resolve_image_key(columns) -> str:
+    for key in _IMAGE_KEYS:
+        if key in columns:
+            return key
+    raise ValueError(
+        f"Could not retrieve image from the dataset. Tried {list(_IMAGE_KEYS)}, which "
+        f"did not match dataset columns : {list(columns)}"
+    )
+
+
+class HFVisionDataset:
+    """Wraps ``datasets.load_dataset(name, split)``; yields uint8 HWC arrays.
+
+    Reference hf_vision_data.py:98-122 resolves the image column from
+    ['image', 'img'] the same way.
+    """
+
+    def __init__(self, name: str, split: str, cache_dir: Optional[str] = None, mode: str = "train"):
+        assert mode in ("train", "test"), "Mode must be in train or test"
+        from datasets import load_dataset
+
+        self.dataset = load_dataset(name, split=split, cache_dir=cache_dir)
+        self.image_key = _resolve_image_key(self.dataset.column_names)
+        self.has_label = "label" in self.dataset.column_names
+        self.mode = mode
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        ex = self.dataset[int(idx)]
+        img = np.asarray(ex[self.image_key])
+        if img.ndim == 2:
+            img = img[:, :, None]
+        out = {"image": img.astype(np.uint8)}
+        if self.has_label:
+            out["label"] = np.int32(ex["label"])
+        return out
+
+
+class SyntheticVisionDataset:
+    """Deterministic random uint8 images; offline stand-in for tests/bench."""
+
+    def __init__(
+        self,
+        image_size: int = 32,
+        channels: int = 3,
+        num_classes: int = 10,
+        length: int = 512,
+        seed: int = 0,
+        mode: str = "train",
+    ):
+        self.image_size = image_size
+        self.channels = channels
+        self.num_classes = num_classes
+        self.length = length
+        self.rng = np.random.RandomState(seed)
+        self._images = self.rng.randint(
+            0, 256, size=(min(length, 512), image_size, image_size, channels), dtype=np.uint8
+        )
+        self._labels = self.rng.randint(0, num_classes, size=(min(length, 512),)).astype(np.int32)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        i = int(idx) % self._images.shape[0]
+        return {"image": self._images[i], "label": self._labels[i]}
+
+
+class DataLoader:
+    """Host-side batcher: shuffle, drop-remainder, numpy collate.
+
+    Replaces torch DataLoader; batches are contiguous numpy arrays ready for
+    a single host→device transfer (optionally sharded by the Trainer).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        image_size: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.image_size = image_size
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        if self.image_size is None or img.shape[0] == self.image_size:
+            return img
+        from PIL import Image
+
+        arr = img[..., 0] if img.shape[-1] == 1 else img
+        pil = Image.fromarray(arr).resize((self.image_size, self.image_size), Image.BILINEAR)
+        out = np.asarray(pil, dtype=np.uint8)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        nb = len(self)
+        for b in range(nb):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            items = [self.dataset[i] for i in idxs]
+            batch = {"image": np.stack([self._resize(it["image"]) for it in items])}
+            if "label" in items[0]:
+                batch["label"] = np.stack([it["label"] for it in items])
+            yield batch
+
+
+def build_dataloader(cfg, mode: str) -> DataLoader:
+    """Build from a reference-style ``train_ds``/``test_ds`` config block
+    (name/split/cache_dir/batch_size/shuffle...)."""
+    name = cfg.get("name")
+    if name == "synthetic" or str(name).startswith("synthetic"):
+        dataset = SyntheticVisionDataset(
+            image_size=int(cfg.get("image_size", 32)),
+            channels=int(cfg.get("channels", 3)),
+            num_classes=int(cfg.get("num_classes", 10) or 10),
+            length=int(cfg.get("length", 512)),
+            mode=mode,
+        )
+    else:
+        dataset = HFVisionDataset(
+            name=name, split=cfg.get("split"), cache_dir=cfg.get("cache_dir"), mode=mode
+        )
+    logging.info(f"Built {mode} dataset `{name}` with {len(dataset)} examples")
+    return DataLoader(
+        dataset,
+        batch_size=int(cfg.get("batch_size", 32)),
+        shuffle=bool(cfg.get("shuffle", mode == "train")),
+        seed=int(cfg.get("seed", 0)),
+        image_size=cfg.get("resize_to"),
+    )
+
+
+def preprocess_batch(
+    batch: Dict[str, jnp.ndarray], key: Optional[jax.Array] = None, train: bool = True
+) -> Dict[str, jnp.ndarray]:
+    """On-device preprocessing inside the jitted step: uint8 → [-1, 1] floats,
+    plus random horizontal flip when training (reference transforms,
+    hf_vision_data.py:13-18, moved from host to TPU)."""
+    x = batch["image"].astype(jnp.float32) / 127.5 - 1.0
+    if train and key is not None:
+        flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    out = {"pixel_values": x}
+    if "label" in batch:
+        out["label"] = batch["label"].astype(jnp.int32)
+    return out
+
+
+def get_reverse_transform(inverse_scale: bool = True, uint: bool = False):
+    """[-1,1] (or [0,1]) device array → HWC numpy/PIL-ready
+    (reference hf_vision_data.py:75-95)."""
+
+    def reverse(t):
+        t = np.asarray(t)
+        if inverse_scale:
+            t = (t + 1.0) / 2.0
+        t = t * 255.0
+        if uint:
+            t = np.clip(t, 0, 255).astype(np.uint8)
+        return t
+
+    return reverse

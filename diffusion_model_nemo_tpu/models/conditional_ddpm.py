@@ -1,0 +1,122 @@
+"""Class-conditional DDPM with CFG-style joint conditional/unconditional training.
+
+Parity with the reference ConditionalDDPM
+(diffusion_model_nemo/models/conditional_ddpm.py): requires ``num_classes``;
+reserves the null-class index ``num_classes``; during training ~50% of labels
+are randomly masked to the null class so one network jointly models both
+modes; ``sample(label=…)`` generates class-conditionally or unconditionally.
+
+TPU change: the label mask uses the jitted step's ``jax.random`` key (the
+reference uses ``torch.randint`` on device per batch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_target
+from ..data.hf_vision_data import preprocess_batch
+from .ddpm import DDPM
+
+__all__ = ["ConditionalDDPM"]
+
+
+@register_target("diffusion_model_nemo.models.ConditionalDDPM")
+class ConditionalDDPM(DDPM):
+    def __init__(self, cfg, trainer=None):
+        super().__init__(cfg, trainer=trainer)
+        if self.cfg.get("num_classes") is None:
+            raise ValueError(
+                "Conditional ddpm must have the `num_classes` value inside cfg.model !"
+            )
+        self.num_classes = int(self.cfg.num_classes)
+        self.random_class_index = self.num_classes
+        self.sampler.use_class_conditioning = True  # force set (reference :33)
+
+    def model_fn(self, params, x, t, classes=None):
+        if classes is None and self.sampler.use_class_conditioning:
+            classes = jnp.full((x.shape[0],), self.random_class_index, dtype=jnp.int32)
+        return self.diffusion_model.apply({"params": params}, x, t, classes=classes)
+
+    def get_model_fn(self, batch=None, training: bool = False, key=None):
+        """Bind labels; in training randomly null-mask ~50% of them
+        (reference conditional_ddpm.py:51-67)."""
+        if not self.sampler.use_class_conditioning or batch is None or "label" not in batch:
+            return lambda params, x, t: self.model_fn(params, x, t)
+
+        label = batch["label"].astype(jnp.int32)
+        if training and key is not None:
+            mask = jax.random.bernoulli(key, 0.5, label.shape)
+            label = jnp.where(mask, self.random_class_index, label)
+        return lambda params, x, t: self.model_fn(params, x, t, classes=label)
+
+    def training_step(self, params, batch, key, step):
+        k_pre, k_mask, k_t, k_noise = jax.random.split(key, 4)
+        proc = preprocess_batch(batch, k_pre, train=True)
+        samples = proc["pixel_values"]
+        B = samples.shape[0]
+
+        model_fn = self.get_model_fn(proc, training=True, key=k_mask)
+
+        t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
+        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
+        model_output = model_fn(params, x_t, t)
+
+        loss = self.loss(input=model_output, target=noise)
+        return loss, {"train_loss": loss}
+
+    def change_sampler(self, sampler_cfg) -> None:
+        super().change_sampler(sampler_cfg)
+        self.sampler.use_class_conditioning = True
+
+    def _label_array(self, batch_size: int, label: Optional[int]) -> jnp.ndarray:
+        if label is None:
+            return jnp.full((batch_size,), self.random_class_index, dtype=jnp.int32)
+        return jnp.full((batch_size,), int(label), dtype=jnp.int32)
+
+    def sample(
+        self,
+        batch_size: int,
+        image_size: int,
+        key=None,
+        label: Optional[int] = None,
+        use_ema: bool = False,
+        return_frames: bool = False,
+        **kwargs,
+    ):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shape = (batch_size, image_size, image_size, int(self.channels))
+        labels = self._label_array(batch_size, label)
+        sampler = self.sampler
+
+        def build():
+            def fn(params, labels, key):
+                model_fn = lambda p, x, t: self.model_fn(p, x, t, classes=labels)
+                return sampler.p_sample_loop(
+                    model_fn, params, shape, key, return_frames=return_frames
+                )
+
+            return jax.jit(fn)
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted("sample_cond", build, shape, return_frames)(params, labels, key)
+
+    def interpolate(self, x1, x2, t=None, lambd=0.5, key=None, label=None, **kwargs):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        labels = self._label_array(x1.shape[0], label)
+        sampler = self.sampler
+
+        def build():
+            def fn(params, x1, x2, labels, key):
+                model_fn = lambda p, x, tt: self.model_fn(p, x, tt, classes=labels)
+                return sampler.interpolate(model_fn, params, x1, x2, key, t=t, lambd=lambd)
+
+            return jax.jit(fn)
+
+        return self._jitted("interp_cond", build, x1.shape, t, lambd)(
+            self.params, x1, x2, labels, key
+        )

@@ -1,0 +1,131 @@
+"""DDPM model: vanilla denoising-diffusion training + sampling services.
+
+Parity with the reference DDPM (diffusion_model_nemo/models/ddpm.py):
+uniform t, ``q_sample`` noising, noise-prediction loss, periodic sample
+dumps + optional bits/dim; ``test_step``/``test_epoch_end`` aggregate
+dataset-level bits/dim. The training step is a pure function the Trainer
+jits over the mesh; sampling is a cached jit of the sampler's fused scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import instantiate, register_target
+from ..data.hf_vision_data import preprocess_batch
+from ..utils import logging
+from .abstract_diffusion_model import AbstractDiffusionModel
+
+__all__ = ["DDPM"]
+
+
+@register_target("diffusion_model_nemo.models.DDPM")
+class DDPM(AbstractDiffusionModel):
+    def __init__(self, cfg, trainer=None):
+        super().__init__(cfg, trainer=trainer)
+        self.diffusion_model = self.build_network()
+        self.sampler = instantiate(self.cfg.sampler)
+        self.loss = instantiate(self.cfg.loss)
+
+    # ---- training ------------------------------------------------------------
+    def training_step(self, params, batch, key, step):
+        """Pure: (params, raw uint8 batch, key, step) → (loss, metrics).
+
+        Algorithm 1 of DDPM (reference ddpm.py:43-77) with on-device
+        preprocessing fused in.
+        """
+        k_pre, k_t, k_noise = jax.random.split(key, 3)
+        proc = preprocess_batch(batch, k_pre, train=True)
+        samples = proc["pixel_values"]
+        B = samples.shape[0]
+
+        model_fn = self.get_model_fn(proc, training=True, key=None)
+
+        t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
+        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
+        model_output = model_fn(params, x_t, t)
+
+        loss = self.loss(input=model_output, target=noise)
+        metrics = {"train_loss": loss}
+        return loss, metrics
+
+    # ---- evaluation -----------------------------------------------------------
+    def test_step(self, batch, batch_nb: int, key=None) -> Dict[str, jnp.ndarray]:
+        proc = preprocess_batch(
+            jax.tree.map(jnp.asarray, batch), key=None, train=False
+        )
+        samples = proc["pixel_values"]
+        model_fn = self.get_model_fn(proc)
+        log_dict = self.calculate_bits_per_dimension(
+            x_start=samples, key=key, max_batch_size=-1, model_fn=model_fn
+        )
+        out = {k: v.sum() for k, v in log_dict.items()}
+        out["num_samples"] = jnp.asarray(samples.shape[0], jnp.int32)
+        return out
+
+    def test_epoch_end(self, outputs) -> Dict[str, float]:
+        total = float(sum(np.asarray(o["num_samples"]) for o in outputs))
+        result = {
+            "test_total_bpd": float(sum(np.asarray(o["total_bpd"]) for o in outputs)) / total,
+            "test_terms_bpd": float(sum(np.asarray(o["terms_bpd"]) for o in outputs)) / total,
+            "test_prior_bpd": float(sum(np.asarray(o["prior_bpd"]) for o in outputs)) / total,
+        }
+        logging.info(f"Test bits/dim: {result}")
+        return result
+
+    # ---- inference services ------------------------------------------------------
+    def sample(
+        self,
+        batch_size: int,
+        image_size: int,
+        key: Optional[jax.Array] = None,
+        use_ema: bool = False,
+        return_frames: bool = False,
+        **kwargs,
+    ):
+        """Cached-jit fused sampling scan; returns [B, H, W, C] in [0, 1]."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shape = (batch_size, image_size, image_size, int(self.channels))
+        model_fn = self.get_model_fn()
+        sampler = self.sampler
+
+        def build():
+            def fn(params, key):
+                return sampler.p_sample_loop(
+                    model_fn, params, shape, key, return_frames=return_frames
+                )
+
+            return jax.jit(fn)
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted("sample", build, shape, return_frames)(params, key)
+
+    def interpolate(
+        self,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        t: Optional[int] = None,
+        lambd: float = 0.5,
+        key: Optional[jax.Array] = None,
+        **kwargs,
+    ):
+        assert x1.ndim == 4, f"x1 is not a batch of tensors ! Given shape {x1.shape}"
+        assert x2.ndim == 4, f"x2 is not a batch of tensors ! Given shape {x2.shape}"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        model_fn = self.get_model_fn()
+        sampler = self.sampler
+
+        def build():
+            def fn(params, x1, x2, key):
+                return sampler.interpolate(model_fn, params, x1, x2, key, t=t, lambd=lambd)
+
+            return jax.jit(fn)
+
+        return self._jitted("interpolate", build, x1.shape, t, lambd)(
+            self.params, x1, x2, key
+        )

@@ -1,0 +1,46 @@
+from .diffusion_process import AbstractDiffusionProcess, ModelFn
+from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
+from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
+from .learned_gaussian_diffusion import LearnedGaussianDiffusion
+from .wavegrad_diffusion import WaveGradDiffusion
+from .parts import (
+    Attention,
+    Block,
+    ConvNextBlock,
+    Downsample,
+    FeatureWiseLinearModulation,
+    LinearAttention,
+    PositionalEncoding,
+    PreNorm,
+    Residual,
+    ResnetBlock,
+    SinusoidalPositionEmbeddings,
+    Upsample,
+)
+from .unet import Unet, WaveGradUNet
+from . import sde_lib
+from .sde_lib import SDE, VESDE, VPSDE, LikelihoodEstimate, subVPSDE
+from .sde_predictors import (
+    AncestralSamplingPredictor,
+    EulerMaruyamaPredictor,
+    NonePredictor,
+    Predictor,
+    ReverseDiffusionPredictor,
+    get_predictor,
+    register_predictor,
+)
+from .sde_correctors import (
+    AnnealedLangevinDynamics,
+    Corrector,
+    LangevinCorrector,
+    NoneCorrector,
+    get_corrector,
+    register_corrector,
+)
+from .sde_samplers import PredictorCorrectorSampler, ProbabilityFlowSampler
+from ..ops.schedules import (
+    cosine_beta_schedule,
+    linear_beta_schedule,
+    quadratic_beta_schedule,
+    sigmoid_beta_schedule,
+)

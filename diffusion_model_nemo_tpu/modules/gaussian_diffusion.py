@@ -1,0 +1,221 @@
+"""DDPM core: forward noising, posterior, ancestral sampling as one fused scan.
+
+Numerics match the reference's GaussianDiffusion
+(diffusion_model_nemo/modules/gaussian_diffusion.py) exactly — same constant
+table, same ``pred_noise``/``pred_x0`` objectives, same x0 clamp and zero-noise
+at t=0 — but the reverse loop is a single jitted ``lax.scan`` resident in HBM
+(the reference runs a Python loop with a ``.cpu()`` copy per step,
+gaussian_diffusion.py:170-189).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_target
+from ..ops.schedules import extract
+from .diffusion_process import AbstractDiffusionProcess, ModelFn
+
+__all__ = ["GaussianDiffusion", "PMeanVariance"]
+
+
+class PMeanVariance(NamedTuple):
+    """Output of ``p_mean_variance``: reverse-step Gaussian parameters."""
+
+    mean: jnp.ndarray
+    variance: Optional[jnp.ndarray]
+    log_variance: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+@register_target("diffusion_model_nemo.modules.GaussianDiffusion")
+class GaussianDiffusion(AbstractDiffusionProcess):
+    def __init__(
+        self,
+        timesteps: int,
+        schedule_name: str,
+        schedule_cfg: Optional[Dict[str, Any]] = None,
+        objective: str = "pred_noise",
+        class_conditional: bool = False,
+    ):
+        super().__init__(timesteps=timesteps, schedule_name=schedule_name, schedule_cfg=schedule_cfg)
+        if objective not in ("pred_noise", "pred_x0"):
+            raise ValueError(f"objective must be pred_noise|pred_x0, got {objective}")
+        self.objective = objective
+        self.use_class_conditioning = bool(class_conditional)
+        self.compute_constants(timesteps)
+
+    # ---- q space -------------------------------------------------------------
+    def q_mean_variance(self, x_start: jnp.ndarray, t: jnp.ndarray):
+        """Marginal q(x_t | x_0); reference gaussian_diffusion.py:85-89."""
+        c = self.constants
+        mean = x_start * extract(c.sqrt_alphas_cumprod, t, x_start.ndim)
+        variance = extract(1.0 - c.alphas_cumprod, t, x_start.ndim)
+        log_variance = extract(c.log_one_minus_alphas_cumprod, t, x_start.ndim)
+        return mean, variance, log_variance
+
+    def q_posterior(self, x_start: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray):
+        """Posterior q(x_{t-1} | x_t, x_0); reference gaussian_diffusion.py:91-101."""
+        c = self.constants
+        coef1 = extract(c.posterior_mean_coef1, t, x.ndim)
+        coef2 = extract(c.posterior_mean_coef2, t, x.ndim)
+        posterior_mean = coef1 * x_start + coef2 * x
+        posterior_log_variance_clipped = extract(c.posterior_log_variance_clipped, t, x.ndim)
+        return posterior_mean, posterior_log_variance_clipped
+
+    def q_sample(
+        self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Closed-form forward noising x_t = √ᾱ_t·x_0 + √(1-ᾱ_t)·ε
+        (reference gaussian_diffusion.py:104-116). ``noise`` is mandatory —
+        randomness is the caller's responsibility (explicit keys)."""
+        c = self.constants
+        return (
+            extract(c.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+            + extract(c.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+        )
+
+    def predict_start_from_noise(self, x_t: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray):
+        """x̂₀ from (x_t, ε̂); reference gaussian_diffusion.py:118-123."""
+        c = self.constants
+        return (
+            extract(c.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+            - extract(c.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+        )
+
+    # ---- p space -------------------------------------------------------------
+    def p_mean_variance(
+        self,
+        model_fn: Optional[ModelFn],
+        params: Any,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        model_output: Optional[jnp.ndarray] = None,
+    ) -> PMeanVariance:
+        """Reverse-step Gaussian with fixed posterior variance and clamped x̂₀
+        (reference gaussian_diffusion.py:125-154)."""
+        if model_output is None:
+            model_output = model_fn(params, x, t)
+
+        if self.objective == "pred_noise":
+            x_recon = self.predict_start_from_noise(x_t=x, t=t, noise=model_output)
+        else:
+            x_recon = model_output
+        x_recon = jnp.clip(x_recon, -1.0, 1.0)
+
+        model_mean, posterior_log_variance = self.q_posterior(x_start=x_recon, x=x, t=t)
+        return PMeanVariance(model_mean, None, posterior_log_variance, x_recon)
+
+    def p_sample(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        """One ancestral step; zero noise at t=0 (reference
+        gaussian_diffusion.py:156-167)."""
+        out = self.p_mean_variance(model_fn, params, x, t)
+        nonzero_mask = (1.0 - (t == 0).astype(x.dtype)).reshape(
+            x.shape[0], *((1,) * (x.ndim - 1))
+        )
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        return out.mean + nonzero_mask * jnp.exp(0.5 * out.log_variance) * noise
+
+    # ---- fused sampling loop ---------------------------------------------------
+    def p_sample_loop(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        img: Optional[jnp.ndarray] = None,
+        num_steps: Optional[int] = None,
+        return_frames: bool = False,
+        unnormalize: bool = True,
+    ):
+        """Full reverse chain as one ``lax.scan`` over t = T-1 … 0.
+
+        Args:
+            img: optional starting latent (defaults to N(0, I)).
+            num_steps: run only the last ``num_steps`` steps (used by
+                ``interpolate``); defaults to all ``timesteps``.
+            return_frames: if True additionally return the whole trajectory
+                ``[T, B, H, W, C]`` (unnormalized) — the fused equivalent of
+                the reference's per-step ``.cpu()`` frame list.
+            unnormalize: map final output from [-1, 1] to [0, 1] (reference
+                gaussian_diffusion.py:186).
+
+        Returns:
+            final image ``[B, H, W, C]``, or ``(final, frames)``.
+        """
+        B = shape[0]
+        T = self.timesteps if num_steps is None else int(num_steps)
+        key, init_key = jax.random.split(key)
+        if img is None:
+            img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+        ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+
+        def step(carry, t):
+            x, k = carry
+            k, sub = jax.random.split(k)
+            t_b = jnp.full((B,), t, dtype=jnp.int32)
+            x = self.p_sample(model_fn, params, x, t_b, sub)
+            y = (x + 1.0) * 0.5 if return_frames else None
+            return (x, k), y
+
+        (img, _), frames = jax.lax.scan(step, (img, key), ts)
+        out = (img + 1.0) * 0.5 if unnormalize else img
+        if return_frames:
+            return out, frames
+        return out
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        **kwargs,
+    ):
+        return self.p_sample_loop(model_fn, params, shape, key, **kwargs)
+
+    def interpolate(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x1: jnp.ndarray,
+        x2: jnp.ndarray,
+        key: jax.Array,
+        t: Optional[int] = None,
+        lambd: float = 0.5,
+        return_frames: bool = False,
+    ):
+        """Noise both endpoints to step ``t``, lerp in q-space, re-denoise
+        (reference gaussian_diffusion.py:195-218). ``t`` is static."""
+        t = self.timesteps - 1 if t is None else int(t)
+        if t >= self.timesteps:
+            raise ValueError(f"`t` must be < {self.timesteps} during interpolation")
+        assert x1.shape == x2.shape
+        B = x1.shape[0]
+
+        key, k1, k2 = jax.random.split(key, 3)
+        t_b = jnp.full((B,), t, dtype=jnp.int32)
+        xt1 = self.q_sample(x1, t_b, jax.random.normal(k1, x1.shape, x1.dtype))
+        xt2 = self.q_sample(x2, t_b, jax.random.normal(k2, x2.shape, x2.dtype))
+        img = (1.0 - lambd) * xt1 + lambd * xt2
+
+        return self.p_sample_loop(
+            model_fn,
+            params,
+            x1.shape,
+            key,
+            img=img,
+            num_steps=t,
+            return_frames=return_frames,
+        )

@@ -1,0 +1,171 @@
+"""Generalized (DDIM) sampler — Song et al. 2020, eq. 12.
+
+Behavioral parity with the reference's GeneralizedGaussianDiffusion
+(diffusion_model_nemo/modules/generalized_gaussian_diffusion.py):
+``eta ∈ [0, 1]`` (0 = DDIM, 1 = DDPM), ``ddim_timesteps`` strided subsampling,
+extended ᾱ table with a prepended 1.0 so ``t = -1`` maps to ᾱ = 1. The strided
+(t, t_next) pairs are precomputed as index vectors and the whole fast-sampling
+loop is one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import register_target
+from ..ops.schedules import extract
+from .diffusion_process import ModelFn
+from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
+
+__all__ = ["GeneralizedGaussianDiffusion"]
+
+
+@register_target("diffusion_model_nemo.modules.GeneralizedGaussianDiffusion")
+class GeneralizedGaussianDiffusion(GaussianDiffusion):
+    def __init__(
+        self,
+        timesteps: int,
+        schedule_name: str,
+        schedule_cfg: Optional[Dict[str, Any]] = None,
+        objective: str = "pred_noise",
+        eta: float = 0.0,
+        ddim_timesteps: int = -1,
+        class_conditional: bool = False,
+    ):
+        super().__init__(
+            timesteps=timesteps,
+            schedule_name=schedule_name,
+            schedule_cfg=schedule_cfg,
+            objective=objective,
+            class_conditional=class_conditional,
+        )
+        if not (0.0 <= eta <= 1.0):
+            raise ValueError("`eta` must be a value in [0, 1]. 0 = DDIM and 1 = DDPM mode")
+        self.eta = float(eta)
+        self.ddim_timesteps = int(ddim_timesteps) if ddim_timesteps > 0 else self.timesteps
+
+    def compute_constants(self, timesteps: int) -> None:
+        super().compute_constants(timesteps)
+        # ᾱ extended with a prepended step so t=-1 → ᾱ=1
+        # (reference generalized_gaussian_diffusion.py:106-108).
+        self.alphas_extended_cumprod = jnp.concatenate(
+            [jnp.ones((1,), jnp.float32), self.constants.alphas_cumprod]
+        )
+
+    def generalized_predict_start_from_noise(self, x_t, t, noise):
+        acp = extract(self.alphas_extended_cumprod, t + 1, x_t.ndim)
+        return (x_t - noise * jnp.sqrt(1.0 - acp)) / jnp.sqrt(acp)
+
+    def p_mean_variance(
+        self,
+        model_fn: Optional[ModelFn],
+        params: Any,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        model_output: Optional[jnp.ndarray] = None,
+    ) -> PMeanVariance:
+        if model_output is None:
+            model_output = model_fn(params, x, t)
+        if self.objective == "pred_noise":
+            x_recon = self.generalized_predict_start_from_noise(x_t=x, t=t, noise=model_output)
+        else:
+            x_recon = model_output
+        x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        model_mean, posterior_log_variance = self.q_posterior(x_start=x_recon, x=x, t=t)
+        return PMeanVariance(model_mean, None, posterior_log_variance, x_recon)
+
+    def ddim_step(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        t_next: jnp.ndarray,
+        key: jax.Array,
+    ):
+        """One generalized step x_t → x_{t_next}
+        (reference generalized_gaussian_diffusion.py:74-95)."""
+        model_output = model_fn(params, x, t)
+        out = self.p_mean_variance(model_fn, params, x, t, model_output=model_output)
+        x0_t = out.pred_x_start
+
+        acp = extract(self.alphas_extended_cumprod, t + 1, x.ndim)
+        acp_next = extract(self.alphas_extended_cumprod, t_next + 1, x.ndim)
+
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+        c1 = self.eta * jnp.sqrt((1.0 - acp / acp_next) * (1.0 - acp_next) / (1.0 - acp))
+        c2 = jnp.sqrt((1.0 - acp_next) - c1**2)
+        xt_next = jnp.sqrt(acp_next) * x0_t + c1 * noise + c2 * model_output
+        return xt_next, x0_t
+
+    def _strided_sequences(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Descending (t, t_next) pairs; reference
+        generalized_gaussian_diffusion.py:110-112."""
+        stride = self.timesteps // self.ddim_timesteps
+        sequence = list(range(0, self.timesteps, stride))
+        sequence_next = [-1] + sequence[:-1]
+        return (
+            np.asarray(sequence[::-1], dtype=np.int32),
+            np.asarray(sequence_next[::-1], dtype=np.int32),
+        )
+
+    def p_sample_loop(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        img: Optional[jnp.ndarray] = None,
+        num_steps: Optional[int] = None,
+        return_frames: bool = False,
+        unnormalize: bool = True,
+    ):
+        del num_steps  # DDIM stride is controlled by ddim_timesteps
+        B = shape[0]
+        seq, seq_next = self._strided_sequences()
+        ts = jnp.asarray(seq)
+        ts_next = jnp.asarray(seq_next)
+
+        key, init_key = jax.random.split(key)
+        if img is None:
+            img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+        def step(carry, tt):
+            x, k = carry
+            t, t_next = tt
+            k, sub = jax.random.split(k)
+            t_b = jnp.full((B,), t, dtype=jnp.int32)
+            t_next_b = jnp.full((B,), t_next, dtype=jnp.int32)
+            x, _ = self.ddim_step(model_fn, params, x, t_b, t_next_b, sub)
+            y = (x + 1.0) * 0.5 if return_frames else None
+            return (x, k), y
+
+        (img, _), frames = jax.lax.scan(step, (img, key), (ts, ts_next))
+        out = (img + 1.0) * 0.5 if unnormalize else img
+        if return_frames:
+            return out, frames
+        return out
+
+    def interpolate(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        x1: jnp.ndarray,
+        x2: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+        t: Optional[int] = None,
+        lambd: float = 0.5,
+        return_frames: bool = False,
+    ):
+        """DDIM interpolation runs the strided loop from a given latent
+        (reference generalized_gaussian_diffusion.py:138-140); slerp of the
+        latents is done by the caller (examples/ddpm/interpolate_ddim.py)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self.p_sample_loop(
+            model_fn, params, x1.shape, key, img=x1, return_frames=return_frames
+        )

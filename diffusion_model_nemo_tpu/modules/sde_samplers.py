@@ -1,0 +1,197 @@
+"""SDE samplers: predictor–corrector scan + probability-flow ODE.
+
+TPU-native counterparts of the reference's sde_samplers package:
+
+- :class:`PredictorCorrectorSampler` — the PC loop
+  (predictor_corrector_sampler.py:58-120) as a single jitted ``lax.scan``.
+  Predictor/corrector objects are constructed **once at trace time** from the
+  registry (the reference re-builds them from the registry on every step,
+  :130-173) and the per-step host ``.cpu()`` copy is gone.
+- :class:`ProbabilityFlowSampler` — black-box ODE sampling
+  (probability_flow_sampler.py) using the in-graph RK45 from
+  :mod:`diffusion_model_nemo_tpu.ops.ode` instead of scipy; NFE is reported
+  from the solver carry. Fixes the reference's ``self.eps``/``solution.nfe``
+  bugs (:88, :95).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_target
+from .sde_lib.score_fn import resolve_score_function
+from ..ops.ode import odeint_rk45
+from .sde_correctors import NoneCorrector, get_corrector
+from .sde_lib.sde_lib import SDE
+from .sde_predictors import NonePredictor, ReverseDiffusionPredictor, get_predictor
+
+__all__ = ["PredictorCorrectorSampler", "ProbabilityFlowSampler"]
+
+
+@register_target("diffusion_model_nemo.modules.PredictorCorrectorSampler")
+class PredictorCorrectorSampler:
+    def __init__(
+        self,
+        predictor: Optional[str],
+        corrector: Optional[str],
+        snr: float,
+        n_steps: int = 1,
+        probability_flow: bool = False,
+        continuous: bool = True,
+        denoise: bool = True,
+        eps: Optional[float] = None,
+    ):
+        self.predictor = predictor
+        self.corrector = corrector
+        self.snr = snr
+        self.n_steps = n_steps
+        self.probability_flow = probability_flow
+        self.continuous = continuous
+        self.denoise = denoise
+        self.eps = eps
+        self.sde: Optional[SDE] = None
+        self.version = 0
+
+    def update_sde(self, sde: SDE) -> None:
+        self.sde = sde
+        self.version += 1
+
+    def _build(self, model_fn):
+        """Resolve score fn + predictor/corrector once (trace time)."""
+        score_fn = resolve_score_function(model_fn, sde=self.sde, continuous=self.continuous)
+        pred_cls = get_predictor(self.predictor) if self.predictor else None
+        corr_cls = get_corrector(self.corrector) if self.corrector else None
+        predictor = (pred_cls or NonePredictor)(
+            sde=self.sde, score_fn=score_fn, probability_flow=self.probability_flow
+        )
+        corrector = (corr_cls or NoneCorrector)(
+            sde=self.sde, score_fn=score_fn, snr=self.snr, n_steps=self.n_steps
+        )
+        return score_fn, predictor, corrector
+
+    def sample(
+        self,
+        model_fn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        return_nfe: bool = False,
+        return_frames: bool = False,
+    ):
+        """PC loop: prior sample, then per step corrector → predictor over
+        ``linspace(T, eps, N)``; optional final denoise returns x_mean.
+        NFE = N·(n_steps+1) (reference predictor_corrector_sampler.py:93-115).
+        """
+        if self.sde is None:
+            raise ValueError("Must explicitly set `update_sde(sde)` prior to sampling")
+        eps = self.sde.sampling_epsilon if self.eps is None else self.eps
+        sde = self.sde
+        _, predictor, corrector = self._build(model_fn)
+
+        key, prior_key = jax.random.split(key)
+        x = sde.prior_sampling(prior_key, shape)
+        timesteps = jnp.linspace(sde.T, eps, sde.N, dtype=jnp.float32)
+        B = shape[0]
+
+        def step(carry, t):
+            x, k, _ = carry
+            k, kc, kp = jax.random.split(k, 3)
+            vec_t = jnp.full((B,), t, dtype=jnp.float32)
+            x, x_mean = corrector.update_fn(params, x, vec_t, kc)
+            x, x_mean = predictor.update_fn(params, x, vec_t, kp)
+            y = ((x_mean if self.denoise else x) + 1.0) * 0.5 if return_frames else None
+            return (x, k, x_mean), y
+
+        (x, _, x_mean), frames = jax.lax.scan(step, (x, key, x), timesteps)
+
+        out = x_mean if self.denoise else x
+        out = (out + 1.0) * 0.5
+        nfe = sde.N * (self.n_steps + 1)
+
+        results: List[Any] = [out]
+        if return_frames:
+            results.append(frames)
+        if return_nfe:
+            results.append(nfe)
+        return results[0] if len(results) == 1 else tuple(results)
+
+    # Reference-compatible aliases
+    forward = sample
+
+
+@register_target("diffusion_model_nemo.modules.ProbabilityFlowSampler")
+class ProbabilityFlowSampler:
+    def __init__(
+        self,
+        method: str = "RK45",
+        rtol: float = 1e-5,
+        atol: float = 1e-5,
+        denoise: bool = False,
+        eps: Optional[float] = None,
+        max_steps: int = 10_000,
+    ):
+        if method.upper() != "RK45":
+            raise ValueError("Only RK45 (Dormand-Prince) is supported in-graph")
+        self.rtol = rtol
+        self.atol = atol
+        self.denoise = denoise
+        self.eps = eps
+        self.max_steps = max_steps
+        self.sde: Optional[SDE] = None
+        self.version = 0
+
+    def update_sde(self, sde: SDE) -> None:
+        self.sde = sde
+        self.version += 1
+
+    def drift_fn(self, model_fn, params, x, t):
+        """Drift of the probability-flow ODE (reverse SDE special case)."""
+        score_fn = resolve_score_function(model_fn, self.sde, continuous=True)
+        rsde = self.sde.reverse(score_fn, probability_flow=True)
+        return rsde.sde(params, x, t)[0]
+
+    def denoise_update_fn(self, model_fn, params, x, eps, key):
+        score_fn = resolve_score_function(model_fn, self.sde, continuous=True)
+        predictor = ReverseDiffusionPredictor(self.sde, score_fn, probability_flow=False)
+        vec_eps = jnp.full((x.shape[0],), eps, dtype=jnp.float32)
+        _, x_mean = predictor.update_fn(params, x, vec_eps, key)
+        return x_mean
+
+    def sample(
+        self,
+        model_fn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        noise: Optional[jnp.ndarray] = None,
+        return_nfe: bool = False,
+    ):
+        if self.sde is None:
+            raise ValueError("Must explicitly set `update_sde(sde)` prior to sampling")
+        eps = self.sde.sampling_epsilon if self.eps is None else self.eps
+
+        key, prior_key, dn_key = jax.random.split(key, 3)
+        x = self.sde.prior_sampling(prior_key, shape) if noise is None else noise
+
+        B = shape[0]
+
+        def ode_func(t, y):
+            vec_t = jnp.full((B,), t, dtype=jnp.float32)
+            return self.drift_fn(model_fn, params, y, vec_t)
+
+        sol = odeint_rk45(
+            ode_func, x, self.sde.T, eps, rtol=self.rtol, atol=self.atol, max_steps=self.max_steps
+        )
+        x = sol.y
+        if self.denoise:
+            x = self.denoise_update_fn(model_fn, params, x, eps, dn_key)
+
+        x = (x + 1.0) * 0.5
+        if return_nfe:
+            return x, sol.nfev
+        return x
+
+    forward = sample

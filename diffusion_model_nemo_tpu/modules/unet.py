@@ -1,0 +1,254 @@
+"""2-D U-Net (Flax, NHWC) and the FiLM-conditioned WaveGrad variant.
+
+Topology matches the reference Unet (diffusion_model_nemo/modules/unet.py:13-168):
+7×7 stem; per down level [block, block, Residual(PreNorm(LinearAttention)),
+Downsample]; mid [block, Residual(PreNorm(Attention)), block]; up levels with
+skip-concat and ConvTranspose upsample; final block + GroupNorm/SiLU/1×1 conv;
+optional learned variance (2× out channels) and class embedding added to the
+stem feature map (padding row = null class embeds to zero, like torch's
+``padding_idx``).
+
+TPU-native design points: channels-last layout, configurable compute dtype
+(bfloat16 matmuls with float32 params), no host-side control flow in
+``__call__``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.registry import register_target
+from .parts import (
+    Attention,
+    FusedGroupNormSiLU,
+    Block,
+    ConvNextBlock,
+    Downsample,
+    FeatureWiseLinearModulation,
+    LinearAttention,
+    PreNorm,
+    Residual,
+    ResnetBlock,
+    SinusoidalPositionEmbeddings,
+    Upsample,
+)
+
+__all__ = ["Unet", "WaveGradUNet"]
+
+
+def _resolve_dtype(dtype) -> jnp.dtype:
+    if isinstance(dtype, str):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[dtype]
+    return dtype
+
+
+@register_target("diffusion_model_nemo.modules.Unet")
+class Unet(nn.Module):
+    """Reference-parity U-Net.
+
+    Args mirror the reference constructor (unet.py:14-29); ``input_dim`` is
+    accepted for config compatibility but unused (shapes are inferred).
+    ``dtype`` is the TPU compute dtype (params stay float32).
+    """
+
+    dim: int
+    input_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Optional[Sequence[int]] = None
+    channels: int = 3
+    with_time_emb: bool = True
+    resnet_block_groups: int = 8
+    use_convnext: bool = True
+    convnext_mult: int = 2
+    resnet_block_order: str = "bn_act_conv"
+    dropout: Optional[float] = None
+    learned_variance: bool = False
+    num_classes: Optional[int] = None
+    dtype: str = "float32"
+
+    def _block(self, dim_out: int, dtype, name: str):
+        if self.use_convnext:
+            return ConvNextBlock(
+                dim_out,
+                time_emb=self.with_time_emb,
+                mult=self.convnext_mult,
+                dropout=self.dropout,
+                dtype=dtype,
+                name=name,
+            )
+        return ResnetBlock(
+            dim_out,
+            time_emb=self.with_time_emb,
+            groups=self.resnet_block_groups,
+            order=self.resnet_block_order,
+            dropout=self.dropout,
+            dtype=dtype,
+            name=name,
+        )
+
+    def _dims(self) -> Tuple[List[int], List[Tuple[int, int]]]:
+        dim_mults = tuple(self.dim_mults) if self.dim_mults is not None else (1, 2, 4, 8)
+        dims = [self.dim] + [self.dim * m for m in dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        return dims, in_out
+
+    @nn.compact
+    def __call__(self, x, time, classes=None, *, deterministic: bool = True):
+        dtype = _resolve_dtype(self.dtype)
+        dims, in_out = self._dims()
+        num_resolutions = len(in_out)
+
+        x = x.astype(dtype)
+        x = nn.Conv(self.dim, (7, 7), padding=3, dtype=dtype, name="init_conv")(x)
+
+        if self.num_classes is not None:
+            if classes is None:
+                classes = jnp.full((x.shape[0],), self.num_classes, dtype=jnp.int32)
+            cls_embed = nn.Embed(self.num_classes + 1, self.dim, name="class_embed")(classes)
+            # Null-class row behaves like torch padding_idx: always-zero output.
+            cls_embed = jnp.where(
+                (classes == self.num_classes)[:, None], 0.0, cls_embed
+            ).astype(dtype)
+            x = x + cls_embed[:, None, None, :]
+
+        if self.with_time_emb:
+            time_dim = self.dim * 4
+            t = SinusoidalPositionEmbeddings(self.dim, name="time_sinusoid")(time)
+            t = nn.Dense(time_dim, dtype=dtype, name="time_dense0")(t.astype(dtype))
+            t = nn.gelu(t)
+            t = nn.Dense(time_dim, dtype=dtype, name="time_dense1")(t)
+        else:
+            t = None
+
+        h = []
+        for ind, (_dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= (num_resolutions - 1)
+            x = self._block(dim_out, dtype, name=f"down_{ind}_block1")(x, t, deterministic=deterministic)
+            x = self._block(dim_out, dtype, name=f"down_{ind}_block2")(x, t, deterministic=deterministic)
+            x = Residual(
+                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"down_{ind}_attn"
+            )(x)
+            h.append(x)
+            if not is_last:
+                x = Downsample(dim_out, dtype=dtype, name=f"down_{ind}_downsample")(x)
+
+        mid_dim = dims[-1]
+        x = self._block(mid_dim, dtype, name="mid_block1")(x, t, deterministic=deterministic)
+        x = Residual(PreNorm(Attention(dtype=dtype), dtype=dtype), name="mid_attn")(x)
+        x = self._block(mid_dim, dtype, name="mid_block2")(x, t, deterministic=deterministic)
+
+        for ind, (dim_in, _dim_out) in enumerate(reversed(in_out[1:])):
+            is_last = ind >= (num_resolutions - 1)
+            x = jnp.concatenate([x, h.pop()], axis=-1)
+            x = self._block(dim_in, dtype, name=f"up_{ind}_block1")(x, t, deterministic=deterministic)
+            x = self._block(dim_in, dtype, name=f"up_{ind}_block2")(x, t, deterministic=deterministic)
+            x = Residual(
+                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"up_{ind}_attn"
+            )(x)
+            if not is_last:
+                x = Upsample(dim_in, dtype=dtype, name=f"up_{ind}_upsample")(x)
+
+        default_out_dim = self.channels * (1 if not self.learned_variance else 2)
+        out_dim = self.out_dim if self.out_dim is not None else default_out_dim
+
+        x = self._block(self.dim, dtype, name="final_block")(x, None, deterministic=deterministic)
+        if self.resnet_block_order == "bn_act_conv":
+            x = FusedGroupNormSiLU(
+                groups=self.resnet_block_groups, epsilon=1e-5, dtype=dtype, name="final_norm"
+            )(x)
+        out = nn.Conv(out_dim, (1, 1), dtype=dtype, name="final_conv")(x)
+        return out.astype(jnp.float32)
+
+
+@register_target("diffusion_model_nemo.modules.WaveGradUNet")
+class WaveGradUNet(Unet):
+    """FiLM-conditioned U-Net; ``time`` input is the continuous noise level.
+
+    Reference unet.py:171-266: one FiLM per level computing (scale, shift)
+    from the pre-downsample feature map + noise-level positional encoding;
+    stats collected on the way down and applied ``x·scale + shift`` after each
+    upsample; stem stats applied ``scale·x + shift`` before the final conv.
+    (The reference also constructs FiLMs for the up path that its forward
+    never uses — those dead parameters are not created here.)
+    """
+
+    with_time_emb: bool = False  # FiLM replaces the time MLP
+
+    @nn.compact
+    def __call__(self, x, time, classes=None, *, deterministic: bool = True):
+        noise_level = time
+        dtype = _resolve_dtype(self.dtype)
+        dims, in_out = self._dims()
+        num_resolutions = len(in_out)
+
+        x = x.astype(dtype)
+        x = nn.Conv(self.dim, (7, 7), padding=3, dtype=dtype, name="init_conv")(x)
+
+        statistics = []
+        scale, shift = FeatureWiseLinearModulation(self.dim, dtype=dtype, name="film_0")(
+            x, noise_level
+        )
+        statistics.append((scale, shift))
+
+        if self.num_classes is not None:
+            if classes is None:
+                classes = jnp.full((x.shape[0],), self.num_classes, dtype=jnp.int32)
+            cls_embed = nn.Embed(self.num_classes + 1, self.dim, name="class_embed")(classes)
+            cls_embed = jnp.where(
+                (classes == self.num_classes)[:, None], 0.0, cls_embed
+            ).astype(dtype)
+            x = x + cls_embed[:, None, None, :]
+
+        h = []
+        for ind, (_dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= (num_resolutions - 1)
+            x = self._block(dim_out, dtype, name=f"down_{ind}_block1")(x, None, deterministic=deterministic)
+            x = self._block(dim_out, dtype, name=f"down_{ind}_block2")(x, None, deterministic=deterministic)
+            x = Residual(
+                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"down_{ind}_attn"
+            )(x)
+            h.append(x)
+            scale, shift = FeatureWiseLinearModulation(
+                dim_out, dtype=dtype, name=f"film_{ind + 1}"
+            )(x, noise_level)
+            if not is_last:
+                x = Downsample(dim_out, dtype=dtype, name=f"down_{ind}_downsample")(x)
+            statistics.append((scale, shift))
+
+        mid_dim = dims[-1]
+        x = self._block(mid_dim, dtype, name="mid_block1")(x, None, deterministic=deterministic)
+        x = Residual(PreNorm(Attention(dtype=dtype), dtype=dtype), name="mid_attn")(x)
+        x = self._block(mid_dim, dtype, name="mid_block2")(x, None, deterministic=deterministic)
+
+        statistics.pop()  # deepest level's stats are unused (reference :249)
+
+        for ind, (dim_in, _dim_out) in enumerate(reversed(in_out[1:])):
+            is_last = ind >= (num_resolutions - 1)
+            scale, shift = statistics.pop()
+            x = jnp.concatenate([x, h.pop()], axis=-1)
+            x = self._block(dim_in, dtype, name=f"up_{ind}_block1")(x, None, deterministic=deterministic)
+            x = self._block(dim_in, dtype, name=f"up_{ind}_block2")(x, None, deterministic=deterministic)
+            x = Residual(
+                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"up_{ind}_attn"
+            )(x)
+            if not is_last:
+                x = Upsample(dim_in, dtype=dtype, name=f"up_{ind}_upsample")(x)
+            x = x * scale + shift
+
+        scale, shift = statistics.pop()  # stem stats
+        x = scale * x + shift
+
+        default_out_dim = self.channels * (1 if not self.learned_variance else 2)
+        out_dim = self.out_dim if self.out_dim is not None else default_out_dim
+
+        x = self._block(self.dim, dtype, name="final_block")(x, None, deterministic=deterministic)
+        if self.resnet_block_order == "bn_act_conv":
+            x = FusedGroupNormSiLU(
+                groups=self.resnet_block_groups, epsilon=1e-5, dtype=dtype, name="final_norm"
+            )(x)
+        out = nn.Conv(out_dim, (1, 1), dtype=dtype, name="final_conv")(x)
+        return out.astype(jnp.float32)

@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers for data-parallel (and future) scale-out.
+
+The reference's only distribution strategy is PyTorch-Lightning DDP selected
+by YAML (examples/configs/ddpm/unet_small.yaml:88); no collective calls exist
+in its code. The TPU-native equivalent is a 1-D ``data`` mesh with
+jit-compiled sharding: batches sharded over ``data``, parameters replicated,
+and XLA emitting the gradient all-reduce over ICI automatically. The helpers
+here are mesh-shape agnostic so tensor-parallel axes can be added later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "local_device_count",
+]
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh; default is all devices on a 1-D ``data`` axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (devices.size,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Device-put a host batch with batch-dim sharding over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
+    )
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,5 @@
+from .checkpoints import CheckpointManager, load_archive, save_archive
+from .ema import ema_update, init_ema
+from .exp_manager import ExpManagerHooks, exp_manager
+from .optim import build_lr_schedule, build_optimizer
+from .trainer import Trainer

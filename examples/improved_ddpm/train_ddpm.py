@@ -1,0 +1,28 @@
+"""Train an Improved DDPM (hybrid loss, learned variance) — counterpart of
+reference examples/improved_ddpm/train_ddpm.py."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from common import hydra_runner
+
+from diffusion_model_nemo_tpu.config import to_yaml
+from diffusion_model_nemo_tpu.models import ImprovedDDPM
+from diffusion_model_nemo_tpu.training import Trainer, exp_manager
+from diffusion_model_nemo_tpu.utils import logging
+
+
+@hydra_runner(config_path="../configs/improved_ddpm", config_name="unet_small.yaml")
+def main(cfg):
+    logging.info(f"Config:\n{to_yaml(cfg)}")
+    trainer = Trainer(**cfg.trainer)
+    hooks = exp_manager(trainer, cfg.get("exp_manager"))
+    model = ImprovedDDPM(cfg=cfg.model, trainer=trainer)
+    model.maybe_init_from_pretrained_checkpoint(cfg)
+    trainer.fit(model, resume_state=hooks.resume_state if hooks else None)
+
+
+if __name__ == "__main__":
+    main()
