@@ -61,7 +61,7 @@ def main() -> None:
     x = jax.random.normal(key, shape)
     t_b = jnp.full((BATCH,), T - 1, jnp.int32)
     np.asarray(step_jit(params, x, t_b, key))  # compile
-    SLICE = 50
+    SLICE = 20
     t0 = time.perf_counter()
     for i in range(SLICE):
         t_b = jnp.full((BATCH,), T - 1 - i, jnp.int32)

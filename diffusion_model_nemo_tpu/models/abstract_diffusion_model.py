@@ -97,17 +97,26 @@ class AbstractDiffusionModel:
     def _example_time(self) -> jnp.ndarray:
         return jnp.zeros((1,), jnp.float32)
 
-    def model_fn(self, params, x, t, classes=None):
-        """Pure network application; subclasses may bind conditioning."""
+    def model_fn(self, params, x, t, classes=None, dropout_rng=None):
+        """Pure network application; subclasses may bind conditioning.
+
+        ``dropout_rng`` activates dropout (training mode); inference is
+        deterministic."""
         kwargs = {}
         if classes is not None:
             kwargs["classes"] = classes
-        return self.diffusion_model.apply({"params": params}, x, t, **kwargs)
+        rngs = None
+        if dropout_rng is not None:
+            kwargs["deterministic"] = False
+            rngs = {"dropout": dropout_rng}
+        return self.diffusion_model.apply({"params": params}, x, t, rngs=rngs, **kwargs)
 
     def get_model_fn(self, batch: Optional[Dict] = None, training: bool = False, key=None):
         """Returns ``model_fn(params, x, t)`` possibly bound to batch
-        conditioning (reference ``get_diffusion_model``)."""
-        return lambda params, x, t: self.model_fn(params, x, t)
+        conditioning (reference ``get_diffusion_model``) and, when training,
+        a dropout rng."""
+        dropout_rng = key if training else None
+        return lambda params, x, t: self.model_fn(params, x, t, dropout_rng=dropout_rng)
 
     # ---- abstract API -----------------------------------------------------------
     def training_step(self, params, batch, key, step):
@@ -216,18 +225,18 @@ class AbstractDiffusionModel:
                 def step(carry, t):
                     k = carry
                     k, sub = jax.random.split(k)
-                    t_b = jnp.full((B,), t, dtype=jnp.int32)
+                    # scalar t: table lookups are dynamic-slices, not gathers
                     noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
-                    x_t = sampler.q_sample(x_start, t_b, noise)
-                    true_mean, true_log_var = sampler.q_posterior(x_start=x_start, x=x_t, t=t_b)
-                    out = sampler.p_mean_variance(model_fn, params, x=x_t, t=t_b)
+                    x_t = sampler.q_sample(x_start, t, noise)
+                    true_mean, true_log_var = sampler.q_posterior(x_start=x_start, x=x_t, t=t)
+                    out = sampler.p_mean_variance(model_fn, params, x=x_t, t=t)
                     vb, _ = compute_variational_loss_terms(
                         samples=x_start,
                         model_mean=out.mean,
                         model_log_variance=jnp.broadcast_to(out.log_variance, out.mean.shape),
                         true_mean=true_mean,
                         true_log_variance_clipped=true_log_var,
-                        t=t_b,
+                        t=t,
                     )
                     return k, vb
 

@@ -36,22 +36,26 @@ class ConditionalDDPM(DDPM):
         self.random_class_index = self.num_classes
         self.sampler.use_class_conditioning = True  # force set (reference :33)
 
-    def model_fn(self, params, x, t, classes=None):
+    def model_fn(self, params, x, t, classes=None, dropout_rng=None):
         if classes is None and self.sampler.use_class_conditioning:
             classes = jnp.full((x.shape[0],), self.random_class_index, dtype=jnp.int32)
-        return self.diffusion_model.apply({"params": params}, x, t, classes=classes)
+        return super().model_fn(params, x, t, classes=classes, dropout_rng=dropout_rng)
 
     def get_model_fn(self, batch=None, training: bool = False, key=None):
         """Bind labels; in training randomly null-mask ~50% of them
-        (reference conditional_ddpm.py:51-67)."""
+        (reference conditional_ddpm.py:51-67). ``key`` drives both the label
+        mask and dropout when training."""
+        k_mask = k_drop = None
+        if training and key is not None:
+            k_mask, k_drop = jax.random.split(key)
         if not self.sampler.use_class_conditioning or batch is None or "label" not in batch:
-            return lambda params, x, t: self.model_fn(params, x, t)
+            return lambda params, x, t: self.model_fn(params, x, t, dropout_rng=k_drop)
 
         label = batch["label"].astype(jnp.int32)
-        if training and key is not None:
-            mask = jax.random.bernoulli(key, 0.5, label.shape)
+        if training and k_mask is not None:
+            mask = jax.random.bernoulli(k_mask, 0.5, label.shape)
             label = jnp.where(mask, self.random_class_index, label)
-        return lambda params, x, t: self.model_fn(params, x, t, classes=label)
+        return lambda params, x, t: self.model_fn(params, x, t, classes=label, dropout_rng=k_drop)
 
     def training_step(self, params, batch, key, step):
         k_pre, k_mask, k_t, k_noise = jax.random.split(key, 4)

@@ -38,12 +38,12 @@ class DDPM(AbstractDiffusionModel):
         Algorithm 1 of DDPM (reference ddpm.py:43-77) with on-device
         preprocessing fused in.
         """
-        k_pre, k_t, k_noise = jax.random.split(key, 3)
+        k_pre, k_t, k_noise, k_drop = jax.random.split(key, 4)
         proc = preprocess_batch(batch, k_pre, train=True)
         samples = proc["pixel_values"]
         B = samples.shape[0]
 
-        model_fn = self.get_model_fn(proc, training=True, key=None)
+        model_fn = self.get_model_fn(proc, training=True, key=k_drop)
 
         t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
         noise = jax.random.normal(k_noise, samples.shape, samples.dtype)

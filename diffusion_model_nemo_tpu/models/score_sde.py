@@ -55,12 +55,12 @@ class ScoreSDE(AbstractDiffusionModel):
     # ---- training -----------------------------------------------------------------
     def training_step(self, params, batch, key, step):
         """t ~ U(0,1), scaled inside the loss (reference score_sde.py:73-102)."""
-        k_pre, k_t, k_noise = jax.random.split(key, 3)
+        k_pre, k_t, k_noise, k_drop = jax.random.split(key, 4)
         proc = preprocess_batch(batch, k_pre, train=True)
         samples = proc["pixel_values"]
         B = samples.shape[0]
 
-        model_fn = self.get_model_fn(proc, training=True)
+        model_fn = self.get_model_fn(proc, training=True, key=k_drop)
         t = jax.random.uniform(k_t, (B,), dtype=jnp.float32)
         noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
 

@@ -38,7 +38,7 @@ class WavegradDDPM(DDPM):
         """Continuous noise-level training (reference wavegrad_ddpm.py:43-66);
         the level is drawn with jax.random inside the jitted step (the
         reference uses host numpy RNG)."""
-        k_pre, k_level, k_noise = jax.random.split(key, 3)
+        k_pre, k_level, k_noise, k_drop = jax.random.split(key, 4)
         proc = preprocess_batch(batch, k_pre, train=True)
         samples = proc["pixel_values"]
         B = samples.shape[0]
@@ -47,7 +47,7 @@ class WavegradDDPM(DDPM):
         noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
         x_t = self.sampler.q_sample_continuous(samples, level, noise)
 
-        model_output = self.model_fn(params, x_t, level)
+        model_output = self.model_fn(params, x_t, level, dropout_rng=k_drop)
         loss = self.loss(input=model_output, target=noise)
         return loss, {"train_loss": loss}
 

@@ -31,6 +31,17 @@ class PMeanVariance(NamedTuple):
     pred_x_start: jnp.ndarray
 
 
+def batched_t(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """The network's time input is always [B]; process math accepts a 0-d
+    scalar t (the sampling scans' fast path — per-batch gathers from the
+    constant tables cost ~0.6 ms each on TPU, scalar dynamic-slices are free).
+    """
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        return jnp.broadcast_to(t, (x.shape[0],))
+    return t
+
+
 @register_target("diffusion_model_nemo.modules.GaussianDiffusion")
 class GaussianDiffusion(AbstractDiffusionProcess):
     def __init__(
@@ -98,7 +109,7 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         """Reverse-step Gaussian with fixed posterior variance and clamped x̂₀
         (reference gaussian_diffusion.py:125-154)."""
         if model_output is None:
-            model_output = model_fn(params, x, t)
+            model_output = model_fn(params, x, batched_t(t, x))
 
         if self.objective == "pred_noise":
             x_recon = self.predict_start_from_noise(x_t=x, t=t, noise=model_output)
@@ -118,11 +129,12 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         key: jax.Array,
     ) -> jnp.ndarray:
         """One ancestral step; zero noise at t=0 (reference
-        gaussian_diffusion.py:156-167)."""
+        gaussian_diffusion.py:156-167). ``t`` may be [B] or a 0-d scalar."""
         out = self.p_mean_variance(model_fn, params, x, t)
-        nonzero_mask = (1.0 - (t == 0).astype(x.dtype)).reshape(
-            x.shape[0], *((1,) * (x.ndim - 1))
-        )
+        t_arr = jnp.asarray(t)
+        nonzero_mask = 1.0 - (t_arr == 0).astype(x.dtype)
+        if t_arr.ndim > 0:
+            nonzero_mask = nonzero_mask.reshape(-1, *((1,) * (x.ndim - 1)))
         noise = jax.random.normal(key, x.shape, dtype=x.dtype)
         return out.mean + nonzero_mask * jnp.exp(0.5 * out.log_variance) * noise
 
@@ -164,8 +176,8 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         def step(carry, t):
             x, k = carry
             k, sub = jax.random.split(k)
-            t_b = jnp.full((B,), t, dtype=jnp.int32)
-            x = self.p_sample(model_fn, params, x, t_b, sub)
+            # scalar t: table lookups become dynamic-slices, not gathers
+            x = self.p_sample(model_fn, params, x, t, sub)
             y = (x + 1.0) * 0.5 if return_frames else None
             return (x, k), y
 

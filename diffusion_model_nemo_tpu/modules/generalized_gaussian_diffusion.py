@@ -19,7 +19,7 @@ import numpy as np
 from ..config.registry import register_target
 from ..ops.schedules import extract
 from .diffusion_process import ModelFn
-from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
+from .gaussian_diffusion import GaussianDiffusion, PMeanVariance, batched_t
 
 __all__ = ["GeneralizedGaussianDiffusion"]
 
@@ -69,7 +69,7 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         model_output: Optional[jnp.ndarray] = None,
     ) -> PMeanVariance:
         if model_output is None:
-            model_output = model_fn(params, x, t)
+            model_output = model_fn(params, x, batched_t(t, x))
         if self.objective == "pred_noise":
             x_recon = self.generalized_predict_start_from_noise(x_t=x, t=t, noise=model_output)
         else:
@@ -89,7 +89,7 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
     ):
         """One generalized step x_t → x_{t_next}
         (reference generalized_gaussian_diffusion.py:74-95)."""
-        model_output = model_fn(params, x, t)
+        model_output = model_fn(params, x, batched_t(t, x))
         out = self.p_mean_variance(model_fn, params, x, t, model_output=model_output)
         x0_t = out.pred_x_start
 
@@ -138,9 +138,8 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
             x, k = carry
             t, t_next = tt
             k, sub = jax.random.split(k)
-            t_b = jnp.full((B,), t, dtype=jnp.int32)
-            t_next_b = jnp.full((B,), t_next, dtype=jnp.int32)
-            x, _ = self.ddim_step(model_fn, params, x, t_b, t_next_b, sub)
+            # scalar (t, t_next): table lookups are dynamic-slices
+            x, _ = self.ddim_step(model_fn, params, x, t, t_next, sub)
             y = (x + 1.0) * 0.5 if return_frames else None
             return (x, k), y
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..config.registry import register_target
 from ..ops.schedules import extract
 from .diffusion_process import ModelFn
-from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
+from .gaussian_diffusion import GaussianDiffusion, PMeanVariance, batched_t
 
 __all__ = ["LearnedGaussianDiffusion"]
 
@@ -59,7 +59,7 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
         model_output: Optional[jnp.ndarray] = None,
     ) -> PMeanVariance:
         if model_output is None:
-            model_output = model_fn(params, x, t)
+            model_output = model_fn(params, x, batched_t(t, x))
         pred_noise, _ = jnp.split(model_output, 2, axis=-1)
 
         model_log_variance = self.model_log_variance(model_output, x, t)

@@ -200,12 +200,9 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
 
-        q = q * scale
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+        from ..ops.attention import fused_attention
 
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=jnp.float32)
+        out = fused_attention(q * scale, k, v)  # Pallas on TPU, XLA fallback
         out = out.astype(x.dtype).reshape(B, H, W, hidden)
         return nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
 

@@ -2,9 +2,9 @@
 
 TPU-native redesign of the reference's LikelihoodEstimate
 (diffusion_model_nemo/modules/sde_lib/likelihood.py): the Hutchinson–Skilling
-divergence uses ``jax.jvp`` (forward-mode; one extra network evaluation, no
-autograd graph), and the augmented [x, logp] ODE integrates with the in-graph
-RK45 — the reference round-trips numpy↔torch on every solver stage.
+divergence uses one in-graph ``jax.vjp`` per drift evaluation, and the
+augmented [x, logp] ODE integrates with the in-graph RK45 — the reference
+round-trips numpy↔torch on every solver stage.
 
 Conventions preserved: rademacher/gaussian trace noise, integration span
 ``(eps, T)``, bits/dim offset +7.0 for data scaled to [-1, 1]
@@ -77,16 +77,18 @@ class LikelihoodEstimate:
             )
 
         def drift_div(x, t_vec):
-            """Drift + Hutchinson divergence in one jvp (one extra fwd pass)."""
+            """Drift + Hutchinson divergence εᵀJε via one vjp (reverse-mode,
+            like the reference's autograd grad of sum(f·ε) — and compatible
+            with the custom_vjp Pallas kernels, which forward-mode isn't)."""
             f = lambda y: self.drift_fn(model_fn, params, y, t_vec)
-            drift, jvp_eps = jax.jvp(f, (x,), (epsilon,))
-            div = jnp.sum(jvp_eps * epsilon, axis=tuple(range(1, x.ndim)))
+            drift, pullback = jax.vjp(f, x)
+            (eps_J,) = pullback(epsilon)
+            div = jnp.sum(eps_J * epsilon, axis=tuple(range(1, x.ndim)))
             return drift, div
 
         def ode_func(t, state):
             x, _logp = state
-            t_vec = jnp.full((B,), t, dtype=jnp.float32)
-            drift, div = drift_div(x, t_vec)
+            drift, div = drift_div(x, t)
             return (drift, div)
 
         init = (data.astype(jnp.float32), jnp.zeros((B,), jnp.float32))

@@ -22,20 +22,32 @@ from .vp_sde import VPSDE
 __all__ = ["resolve_score_function"]
 
 
+def _batched(labels: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """The network's time input is always [B]; samplers may pass a scalar t
+    (one t for the whole batch — the fast path avoiding per-batch gathers)."""
+    labels = jnp.asarray(labels)
+    if labels.ndim == 0:
+        return jnp.broadcast_to(labels, (x.shape[0],))
+    return labels
+
+
 def resolve_score_function(model_fn, sde: SDE, continuous: bool = True):
-    """Wrap ``model_fn(params, x, labels)`` into ``score_fn(params, x, t)``."""
+    """Wrap ``model_fn(params, x, labels)`` into ``score_fn(params, x, t)``.
+
+    ``t`` may be [B] or a 0-d scalar (see :func:`_batched`).
+    """
     if isinstance(sde, (VPSDE, subVPSDE)):
 
         def score_fn(params: Any, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
             if continuous or isinstance(sde, subVPSDE):
                 labels = t * (sde.N - 1)
-                score = model_fn(params, x, labels)
+                score = model_fn(params, x, _batched(labels, x))
                 _, std = sde.marginal_prob(jnp.zeros_like(x), t)
             else:
                 labels = (t * (sde.N - 1)).astype(jnp.int32)
-                score = model_fn(params, x, labels)
+                score = model_fn(params, x, _batched(labels, x))
                 std = sde.sqrt_1m_alphas_cumprod[labels]
-            return batch_mul(-1.0 / std, score) if std.ndim == 1 else -score / std
+            return batch_mul(-1.0 / std, score) if std.ndim <= 1 else -score / std
 
     elif isinstance(sde, VESDE):
 
@@ -44,7 +56,7 @@ def resolve_score_function(model_fn, sde: SDE, continuous: bool = True):
                 labels = sde.marginal_prob(jnp.zeros_like(x), t)[1]
             else:
                 labels = jnp.round((sde.T - t) * (sde.N - 1)).astype(jnp.int32)
-            return model_fn(params, x, labels)
+            return model_fn(params, x, _batched(labels, x))
 
     else:
         raise NotImplementedError(f"SDE class {sde.__class__.__name__} not yet supported.")

@@ -22,7 +22,11 @@ ScoreFn = Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def batch_mul(a: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Multiply per-batch scalars ``a`` [B] against ``x`` [B, ...]."""
+    """Multiply per-batch scalars ``a`` [B] (or a 0-d scalar — the samplers'
+    fast path where one t serves the whole batch) against ``x`` [B, ...]."""
+    a = jnp.asarray(a)
+    if a.ndim == 0:
+        return a * x
     return a.reshape(a.shape[0], *((1,) * (x.ndim - 1))) * x
 
 

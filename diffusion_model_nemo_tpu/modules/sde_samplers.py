@@ -99,9 +99,10 @@ class PredictorCorrectorSampler:
         def step(carry, t):
             x, k, _ = carry
             k, kc, kp = jax.random.split(k, 3)
-            vec_t = jnp.full((B,), t, dtype=jnp.float32)
-            x, x_mean = corrector.update_fn(params, x, vec_t, kc)
-            x, x_mean = predictor.update_fn(params, x, vec_t, kp)
+            # scalar t: per-step table lookups are dynamic-slices; score_fn
+            # broadcasts the time label for the network
+            x, x_mean = corrector.update_fn(params, x, t, kc)
+            x, x_mean = predictor.update_fn(params, x, t, kp)
             y = ((x_mean if self.denoise else x) + 1.0) * 0.5 if return_frames else None
             return (x, k, x_mean), y
 
@@ -156,8 +157,7 @@ class ProbabilityFlowSampler:
     def denoise_update_fn(self, model_fn, params, x, eps, key):
         score_fn = resolve_score_function(model_fn, self.sde, continuous=True)
         predictor = ReverseDiffusionPredictor(self.sde, score_fn, probability_flow=False)
-        vec_eps = jnp.full((x.shape[0],), eps, dtype=jnp.float32)
-        _, x_mean = predictor.update_fn(params, x, vec_eps, key)
+        _, x_mean = predictor.update_fn(params, x, jnp.asarray(eps, jnp.float32), key)
         return x_mean
 
     def sample(
@@ -179,8 +179,7 @@ class ProbabilityFlowSampler:
         B = shape[0]
 
         def ode_func(t, y):
-            vec_t = jnp.full((B,), t, dtype=jnp.float32)
-            return self.drift_fn(model_fn, params, y, vec_t)
+            return self.drift_fn(model_fn, params, y, t)
 
         sol = odeint_rk45(
             ode_func, x, self.sde.T, eps, rtol=self.rtol, atol=self.atol, max_steps=self.max_steps

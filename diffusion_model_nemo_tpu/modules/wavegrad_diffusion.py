@@ -165,7 +165,14 @@ class WaveGradDiffusion(GaussianDiffusion):
         """Conditions the network on noise level √ᾱ_{t+1} instead of t
         (reference wavegrad_diffusion.py:160-189)."""
         if noise_level is None:
-            noise_level = extract(self.constants.sqrt_alphas_cumprod_prev, t + 1, x.ndim)
+            t_arr = jnp.asarray(t)
+            noise_level = extract(
+                self.constants.sqrt_alphas_cumprod_prev, t_arr + 1, x.ndim
+            )
+            if t_arr.ndim == 0:
+                # scalar-t fast path: broadcast the level over the batch for
+                # the FiLM network's [B, 1, 1, 1] conditioning input
+                noise_level = jnp.broadcast_to(noise_level, (x.shape[0], 1, 1, 1))
         if model_output is None:
             model_output = model_fn(params, x, noise_level)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -224,9 +225,19 @@ def compute_schedule_constants(
 def extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     """Gather per-example constants and broadcast over trailing dims.
 
-    ``table[t]`` with a reshape to ``[B, 1, ..., 1]`` (``ndim`` total dims) —
-    the XLA-fusable replacement for the reference's host-synced
-    ``a.gather(-1, t.cpu()).to(t.device)`` (diffusion_process.py:84-87).
+    Replaces the reference's host-synced ``a.gather(-1, t.cpu()).to(t.device)``
+    (diffusion_process.py:84-87). Two TPU-tuned paths:
+
+    - **scalar t** (the sampling scan: one t for the whole batch): a single
+      ``dynamic_index`` → ``[1, 1, ..., 1]`` broadcastable — TPU batched
+      gathers from small tables cost ~0.6 ms each, a scalar slice is ~free;
+    - **batched t** (training: per-example t): a one-hot matmul on the MXU at
+      HIGHEST precision, which beats the gather lowering for [B]←[T] lookups.
     """
-    out = table[t]
-    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        out = jax.lax.dynamic_index_in_dim(table, t, keepdims=False)
+        return out.reshape((1,) * ndim)
+    onehot = jax.nn.one_hot(t, table.shape[0], dtype=table.dtype)
+    out = jnp.dot(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(t.shape[0], *((1,) * (ndim - 1)))

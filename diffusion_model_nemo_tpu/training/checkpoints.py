@@ -66,7 +66,7 @@ class CheckpointManager:
             return None
         if template is not None:
             return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return self._mgr.restore(step)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -102,9 +102,12 @@ class ExpManagerHooks:
 
 
 def _host_state(state: Dict[str, Any]) -> Dict[str, Any]:
+    """Copy device arrays to host numpy before handing to (async) orbax —
+    the live buffers are donated by the next train-step call."""
     import jax
+    import numpy as np
 
-    return jax.tree.map(lambda x: x, state)
+    return jax.tree.map(lambda x: np.asarray(x), state)
 
 
 def exp_manager(trainer, cfg) -> Optional[ExpManagerHooks]:

@@ -50,8 +50,14 @@ class Trainer:
         strategy: Optional[str] = None,  # accepted for config parity; mesh DP always
         accelerator: str = "auto",
         limit_test_batches: Optional[float] = None,
+        profile_dir: Optional[str] = None,
+        profile_start_step: int = 10,
+        profile_num_steps: int = 5,
         **_unused,
     ):
+        self.profile_dir = profile_dir
+        self.profile_start_step = int(profile_start_step)
+        self.profile_num_steps = int(profile_num_steps)
         self.devices = devices
         self.num_nodes = num_nodes
         self.max_epochs = max_epochs
@@ -105,7 +111,13 @@ class Trainer:
         if resume_state is not None:
             params = jax.device_put(resume_state["params"], rep)
             ema_params = jax.device_put(resume_state["ema_params"], rep)
-            opt_state = jax.device_put(resume_state["opt_state"], rep)
+            # Orbax returns raw nested containers; rebuild the optax state's
+            # NamedTuple structure from the freshly-initialized template.
+            restored_opt = resume_state["opt_state"]
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(restored_opt)
+            )
+            opt_state = jax.device_put(opt_state, rep)
             start_step = int(resume_state["step"])
             logging.info(f"Resumed training from step {start_step}")
 
@@ -141,6 +153,12 @@ class Trainer:
                     break
                 batch = self._put_batch(batch)
                 key = jax.random.fold_in(base_key, step)
+                # Optional jax.profiler trace of a step window (aux subsystem).
+                if self.profile_dir and step == self.profile_start_step:
+                    jax.profiler.start_trace(self.profile_dir)
+                if self.profile_dir and step == self.profile_start_step + self.profile_num_steps:
+                    jax.profiler.stop_trace()
+                    logging.info(f"Profiler trace written to {self.profile_dir}")
                 params, opt_state, ema_params, metrics = update(
                     params, opt_state, ema_params, batch, key, jnp.asarray(step, jnp.int32)
                 )

@@ -1,0 +1,40 @@
+"""Dataset-level bits/dim for a trained ImprovedDDPM archive
+(counterpart of reference examples/improved_ddpm/test_ddpm.py)."""
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from common import hydra_runner
+
+from diffusion_model_nemo_tpu.models import ImprovedDDPM
+from diffusion_model_nemo_tpu.training import Trainer
+from diffusion_model_nemo_tpu.utils import logging
+
+
+@dataclass
+class TestConfig:
+    model_path: str = "ImprovedDDPM.dmn"
+    dataset_name: Optional[str] = None
+    dataset_split: str = "test"
+    batch_size: int = 32
+    limit_test_batches: Optional[int] = None
+    use_ema: bool = True
+
+
+@hydra_runner(config_path=None, config_name="TestConfig", schema=TestConfig)
+def main(cfg):
+    cfg = TestConfig(**cfg)
+    model = ImprovedDDPM.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    name = cfg.dataset_name or (model.cfg.get("train_ds") or {}).get("name")
+    model.setup_test_data({"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size})
+    trainer = Trainer(devices=-1, limit_test_batches=cfg.limit_test_batches)
+    result = trainer.test(model)
+    logging.info(f"Result: {result}")
+
+
+if __name__ == "__main__":
+    main()
