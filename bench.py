@@ -24,7 +24,7 @@ def main() -> None:
 
     from __graft_entry__ import _flagship
 
-    BATCH = 64
+    BATCH = 128  # throughput saturates ~B>=128 on v5e for this net
     T = 1000
     IMG = 32
 

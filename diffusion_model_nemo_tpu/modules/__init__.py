@@ -14,6 +14,7 @@ from .parts import (
     PreNorm,
     Residual,
     ResnetBlock,
+    SelfAttentionBlock,
     SinusoidalPositionEmbeddings,
     Upsample,
 )

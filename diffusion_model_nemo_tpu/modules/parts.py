@@ -306,6 +306,28 @@ class Residual(nn.Module):
         return self.fn(x, *args, **kwargs) + x
 
 
+class SelfAttentionBlock(nn.Module):
+    """``Residual(PreNorm(Attention-or-LinearAttention))`` as one module.
+
+    Composing module *instances* through Residual/PreNorm scatters their
+    params across auto-named top-level collections in flax; this block owns
+    its submodules so the param tree nests cleanly under the U-Net's
+    ``{down,up,mid}_*_attn`` names.
+    """
+
+    linear: bool = True
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        attn_cls = LinearAttention if self.linear else Attention
+        h = attn_cls(heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn")(h)
+        return h + x
+
+
 class PreNorm(nn.Module):
     """GroupNorm(1) before fn (reference utils.py:85-93)."""
 

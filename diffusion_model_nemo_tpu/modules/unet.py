@@ -25,6 +25,7 @@ from ..config.registry import register_target
 from .parts import (
     Attention,
     FusedGroupNormSiLU,
+    SelfAttentionBlock,
     Block,
     ConvNextBlock,
     Downsample,
@@ -129,16 +130,14 @@ class Unet(nn.Module):
             is_last = ind >= (num_resolutions - 1)
             x = self._block(dim_out, dtype, name=f"down_{ind}_block1")(x, t, deterministic=deterministic)
             x = self._block(dim_out, dtype, name=f"down_{ind}_block2")(x, t, deterministic=deterministic)
-            x = Residual(
-                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"down_{ind}_attn"
-            )(x)
+            x = SelfAttentionBlock(linear=True, dtype=dtype, name=f"down_{ind}_attn")(x)
             h.append(x)
             if not is_last:
                 x = Downsample(dim_out, dtype=dtype, name=f"down_{ind}_downsample")(x)
 
         mid_dim = dims[-1]
         x = self._block(mid_dim, dtype, name="mid_block1")(x, t, deterministic=deterministic)
-        x = Residual(PreNorm(Attention(dtype=dtype), dtype=dtype), name="mid_attn")(x)
+        x = SelfAttentionBlock(linear=False, dtype=dtype, name="mid_attn")(x)
         x = self._block(mid_dim, dtype, name="mid_block2")(x, t, deterministic=deterministic)
 
         for ind, (dim_in, _dim_out) in enumerate(reversed(in_out[1:])):
@@ -146,9 +145,7 @@ class Unet(nn.Module):
             x = jnp.concatenate([x, h.pop()], axis=-1)
             x = self._block(dim_in, dtype, name=f"up_{ind}_block1")(x, t, deterministic=deterministic)
             x = self._block(dim_in, dtype, name=f"up_{ind}_block2")(x, t, deterministic=deterministic)
-            x = Residual(
-                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"up_{ind}_attn"
-            )(x)
+            x = SelfAttentionBlock(linear=True, dtype=dtype, name=f"up_{ind}_attn")(x)
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"up_{ind}_upsample")(x)
 
@@ -208,9 +205,7 @@ class WaveGradUNet(Unet):
             is_last = ind >= (num_resolutions - 1)
             x = self._block(dim_out, dtype, name=f"down_{ind}_block1")(x, None, deterministic=deterministic)
             x = self._block(dim_out, dtype, name=f"down_{ind}_block2")(x, None, deterministic=deterministic)
-            x = Residual(
-                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"down_{ind}_attn"
-            )(x)
+            x = SelfAttentionBlock(linear=True, dtype=dtype, name=f"down_{ind}_attn")(x)
             h.append(x)
             scale, shift = FeatureWiseLinearModulation(
                 dim_out, dtype=dtype, name=f"film_{ind + 1}"
@@ -221,7 +216,7 @@ class WaveGradUNet(Unet):
 
         mid_dim = dims[-1]
         x = self._block(mid_dim, dtype, name="mid_block1")(x, None, deterministic=deterministic)
-        x = Residual(PreNorm(Attention(dtype=dtype), dtype=dtype), name="mid_attn")(x)
+        x = SelfAttentionBlock(linear=False, dtype=dtype, name="mid_attn")(x)
         x = self._block(mid_dim, dtype, name="mid_block2")(x, None, deterministic=deterministic)
 
         statistics.pop()  # deepest level's stats are unused (reference :249)
@@ -232,9 +227,7 @@ class WaveGradUNet(Unet):
             x = jnp.concatenate([x, h.pop()], axis=-1)
             x = self._block(dim_in, dtype, name=f"up_{ind}_block1")(x, None, deterministic=deterministic)
             x = self._block(dim_in, dtype, name=f"up_{ind}_block2")(x, None, deterministic=deterministic)
-            x = Residual(
-                PreNorm(LinearAttention(dtype=dtype), dtype=dtype), name=f"up_{ind}_attn"
-            )(x)
+            x = SelfAttentionBlock(linear=True, dtype=dtype, name=f"up_{ind}_attn")(x)
             if not is_last:
                 x = Upsample(dim_in, dtype=dtype, name=f"up_{ind}_upsample")(x)
             x = x * scale + shift

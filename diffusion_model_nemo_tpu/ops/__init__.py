@@ -1,3 +1,6 @@
+from .attention import attention_reference, fused_attention
+from .norm import group_norm_silu, group_norm_silu_reference
+from .ode import ODESolution, odeint_rk45
 from .math import (
     LOG2,
     approx_standard_normal_cdf,

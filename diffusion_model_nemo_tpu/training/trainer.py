@@ -53,8 +53,10 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_start_step: int = 10,
         profile_num_steps: int = 5,
+        terminate_on_nan: bool = True,
         **_unused,
     ):
+        self.terminate_on_nan = bool(terminate_on_nan)
         self.profile_dir = profile_dir
         self.profile_start_step = int(profile_start_step)
         self.profile_num_steps = int(profile_num_steps)
@@ -169,6 +171,17 @@ class Trainer:
                 if step % self.log_every_n_steps == 0 or step == max_steps:
                     now = time.perf_counter()
                     host_metrics = {k: float(v) for k, v in metrics.items()}
+                    # Failure detection (aux subsystem; the reference has
+                    # none): halt on non-finite loss instead of silently
+                    # corrupting the EMA/checkpoints downstream.
+                    if self.terminate_on_nan and not np.isfinite(
+                        host_metrics.get("train_loss", 0.0)
+                    ):
+                        raise FloatingPointError(
+                            f"Non-finite train_loss at step {step}: "
+                            f"{host_metrics}. Last checkpoint (if any) is "
+                            f"intact; resume with a lower LR or grad clip."
+                        )
                     host_metrics["learning_rate"] = float(lr_schedule(step))
                     host_metrics["global_step"] = step
                     host_metrics["samples_per_sec"] = samples_since / max(now - t_last, 1e-9)

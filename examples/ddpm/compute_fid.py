@@ -1,0 +1,82 @@
+"""Compute FID between dataset images and model samples.
+
+The reference has no FID code (SURVEY §6); this provides the parity-tracking
+tool the north-star metric references. Uses the framework's
+feature-extractor-agnostic FID (metrics/fid.py); plug a real InceptionV3
+extractor via --feature for standard FID numbers.
+"""
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from common import hydra_runner
+
+from diffusion_model_nemo_tpu.data import build_dataloader
+from diffusion_model_nemo_tpu.metrics import FIDScorer
+from diffusion_model_nemo_tpu.models import DDPM
+from diffusion_model_nemo_tpu.utils import logging
+from diffusion_model_nemo_tpu.utils.image import to_uint8
+
+
+@dataclass
+class FIDConfig:
+    model_path: str = "DDPM.dmn"
+    dataset_name: Optional[str] = None
+    dataset_split: str = "test"
+    num_samples: int = 1024
+    batch_size: int = 64
+    use_ddim_sampler: bool = True
+    ddim_timesteps: int = 50
+    seed: int = 0
+    use_ema: bool = True
+
+
+@hydra_runner(config_path=None, config_name="FIDConfig", schema=FIDConfig)
+def main(cfg):
+    cfg = FIDConfig(**cfg)
+    model = DDPM.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    if cfg.use_ddim_sampler:
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion"
+        sampler_cfg["eta"] = 0.0
+        sampler_cfg["ddim_timesteps"] = cfg.ddim_timesteps
+        model.change_sampler(sampler_cfg)
+
+    name = cfg.dataset_name or (model.cfg.get("train_ds") or {}).get("name")
+    dl = build_dataloader(
+        {"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size}, mode="test"
+    )
+
+    scorer = FIDScorer()
+    seen = 0
+    for batch in dl:
+        scorer.update_real(batch["image"])
+        seen += batch["image"].shape[0]
+        if seen >= cfg.num_samples:
+            break
+
+    key = jax.random.PRNGKey(cfg.seed)
+    generated = 0
+    while generated < cfg.num_samples:
+        key, sub = jax.random.split(key)
+        imgs = model.sample(
+            batch_size=cfg.batch_size, image_size=int(model.image_size), key=sub
+        )
+        scorer.update_generated(to_uint8(np.asarray(imgs)))
+        generated += cfg.batch_size
+        logging.info(f"generated {generated}/{cfg.num_samples}")
+
+    fid = scorer.compute()
+    logging.info(f"FID ({generated} generated vs {seen} real): {fid:.4f}")
+    print(f"FID: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()
