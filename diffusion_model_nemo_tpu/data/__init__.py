@@ -1,6 +1,7 @@
 from .hf_vision_data import (
     DataLoader,
     HFVisionDataset,
+    SyntheticAudioDataset,
     SyntheticVisionDataset,
     build_dataloader,
     get_reverse_transform,

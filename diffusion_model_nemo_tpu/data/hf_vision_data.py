@@ -28,6 +28,7 @@ from ..utils import logging
 __all__ = [
     "HFVisionDataset",
     "SyntheticVisionDataset",
+    "SyntheticAudioDataset",
     "DataLoader",
     "build_dataloader",
     "preprocess_batch",
@@ -107,6 +108,34 @@ class SyntheticVisionDataset:
         return {"image": self._images[i], "label": self._labels[i]}
 
 
+class SyntheticAudioDataset:
+    """Deterministic random waveforms (sums of sinusoids + noise) for
+    offline vocoder tests/benchmarks; yields {'audio': float32 [T] in [-1,1]}."""
+
+    def __init__(self, segment_length: int = 7200, length: int = 256, seed: int = 0, mode: str = "train"):
+        self.segment_length = segment_length
+        self.length = length
+        rng = np.random.RandomState(seed)
+        t = np.arange(segment_length) / 24000.0
+        n_cached = min(length, 64)
+        waves = []
+        for i in range(n_cached):
+            f0 = rng.uniform(80, 400)
+            w = sum(
+                rng.uniform(0.1, 0.5) * np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6.28))
+                for k in range(4)
+            )
+            w = w + rng.randn(segment_length) * 0.01
+            waves.append((w / (np.abs(w).max() + 1e-6) * 0.95).astype(np.float32))
+        self._waves = np.stack(waves)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int):
+        return {"audio": self._waves[int(idx) % self._waves.shape[0]]}
+
+
 class DataLoader:
     """Host-side batcher: shuffle, drop-remainder, numpy collate.
 
@@ -159,9 +188,12 @@ class DataLoader:
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             items = [self.dataset[i] for i in idxs]
-            batch = {"image": np.stack([self._resize(it["image"]) for it in items])}
-            if "label" in items[0]:
-                batch["label"] = np.stack([it["label"] for it in items])
+            batch = {}
+            for key in items[0]:
+                if key == "image":
+                    batch[key] = np.stack([self._resize(it[key]) for it in items])
+                else:
+                    batch[key] = np.stack([it[key] for it in items])
             yield batch
 
 
@@ -169,7 +201,13 @@ def build_dataloader(cfg, mode: str) -> DataLoader:
     """Build from a reference-style ``train_ds``/``test_ds`` config block
     (name/split/cache_dir/batch_size/shuffle...)."""
     name = cfg.get("name")
-    if name == "synthetic" or str(name).startswith("synthetic"):
+    if name == "synthetic_audio":
+        dataset = SyntheticAudioDataset(
+            segment_length=int(cfg.get("segment_length", 7200)),
+            length=int(cfg.get("length", 256)),
+            mode=mode,
+        )
+    elif name == "synthetic" or str(name).startswith("synthetic"):
         dataset = SyntheticVisionDataset(
             image_size=int(cfg.get("image_size", 32)),
             channels=int(cfg.get("channels", 3)),

@@ -4,3 +4,4 @@ from .improved_ddpm import ImprovedDDPM
 from .conditional_ddpm import ConditionalDDPM
 from .score_sde import ScoreSDE
 from .wavegrad_ddpm import WavegradDDPM
+from .wavegrad_vocoder import WavegradVocoderModel

@@ -1,0 +1,134 @@
+"""WaveGrad neural vocoder model: mel-conditioned waveform diffusion.
+
+The fifth benchmark config ("WaveGrad audio vocoder (mel→waveform)") — a
+capability the reference repository never actually wired up (its WaveGrad
+model trains on vision data). Composition:
+
+- diffusion process: :class:`WaveGradDiffusion` (continuous √ᾱ noise level,
+  re-schedulable fast sampling) — the data rank is generic, so the same
+  process drives [B, T, 1] waveforms.
+- network: :class:`WaveGradVocoder` (UBlock/DBlock/FiLM).
+- features: log-mel computed **on device inside the jitted train step**
+  (ops/audio.py) from the raw waveform batch; at synthesis time the caller
+  provides mel (or a waveform to re-vocode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_target
+from ..modules.wavegrad_diffusion import WaveGradDiffusion
+from ..ops.audio import log_mel_spectrogram, mel_filterbank
+from .ddpm import DDPM
+
+__all__ = ["WavegradVocoderModel"]
+
+
+@register_target(
+    "diffusion_model_nemo.models.WavegradVocoderModel",
+    "diffusion_model_nemo_tpu.models.WavegradVocoderModel",
+)
+class WavegradVocoderModel(DDPM):
+    def __init__(self, cfg, trainer=None):
+        super().__init__(cfg, trainer=trainer)
+        assert isinstance(
+            self.sampler, WaveGradDiffusion
+        ), "WavegradVocoderModel requires a WaveGradDiffusion sampler"
+        audio = self.cfg.get("audio") or {}
+        self.sample_rate = int(audio.get("sample_rate", 24000))
+        self.n_fft = int(audio.get("n_fft", 1024))
+        self.hop = int(audio.get("hop", 300))
+        self.n_mels = int(audio.get("n_mels", 80))
+        self.segment_frames = int(audio.get("segment_frames", 24))
+        self.mel_fb = mel_filterbank(
+            n_mels=self.n_mels, n_fft=self.n_fft, sample_rate=self.sample_rate
+        )
+
+    # geometry helpers ---------------------------------------------------------
+    @property
+    def segment_length(self) -> int:
+        return self.segment_frames * self.hop
+
+    def compute_mel(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        """[B, T] → [B, F, n_mels] log-mel, jit-safe (on-device features)."""
+        return log_mel_spectrogram(
+            waveform, self.mel_fb, n_fft=self.n_fft, hop=self.hop
+        )[:, : waveform.shape[1] // self.hop, :]
+
+    def init_params(self, key: Optional[jax.Array] = None) -> Any:
+        if key is None:
+            key = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
+        T = self.segment_length
+        y = jnp.zeros((1, T, 1), jnp.float32)
+        mel = jnp.zeros((1, self.segment_frames, self.n_mels), jnp.float32)
+        level = jnp.full((1, 1, 1), 0.5, jnp.float32)
+        variables = self.diffusion_model.init(key, y, level, mel)
+        self.params = variables["params"]
+        self.ema_params = jax.tree.map(jnp.copy, self.params)
+        from ..utils import logging
+
+        n = sum(int(p.size) for p in jax.tree.leaves(self.params))
+        logging.info(f"Initialized WavegradVocoderModel with {n:,} parameters")
+        return self.params
+
+    # training -----------------------------------------------------------------
+    def training_step(self, params, batch, key, step):
+        """Raw waveform batch {'audio': [B, T] float in [-1, 1]} → L1 noise
+        loss at a continuous noise level, mel computed in-graph."""
+        k_level, k_noise, k_drop = jax.random.split(key, 3)
+        wav = batch["audio"].astype(jnp.float32)
+        B = wav.shape[0]
+        mel = self.compute_mel(wav)
+
+        y0 = wav[..., None]  # [B, T, 1]
+        level = self.sampler.sample_continuous_noise_level(B, k_level).reshape(B, 1, 1)
+        noise = jax.random.normal(k_noise, y0.shape, y0.dtype)
+        y_noisy = self.sampler.q_sample_continuous(y0, level, noise)
+
+        pred = self.diffusion_model.apply({"params": params}, y_noisy, level, mel)
+        loss = self.loss(input=pred, target=noise)
+        return loss, {"train_loss": loss}
+
+    # synthesis ------------------------------------------------------------------
+    def vocode(
+        self,
+        mel: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+        use_ema: bool = False,
+    ) -> jnp.ndarray:
+        """[B, F, n_mels] log-mel → [B, F·hop] waveform via the (possibly
+        re-scheduled) ancestral chain."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        B, F, _ = mel.shape
+        shape = (B, F * self.hop, 1)
+        sampler = self.sampler
+
+        def build():
+            def fn(params, mel, key):
+                model_fn = lambda p, y, lvl: self.diffusion_model.apply(
+                    {"params": p}, y, lvl, mel
+                )
+                return sampler.p_sample_loop(
+                    model_fn, params, shape, key, unnormalize=False
+                )
+
+            return jax.jit(fn)
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted("vocode", build, shape)(params, mel, key)[..., 0]
+
+    def sample(self, batch_size: int, image_size: int = 0, key=None, mel=None, **kwargs):
+        """Reference-compatible entry: draws a waveform; mel required."""
+        if mel is None:
+            raise ValueError("WavegradVocoderModel.sample requires mel=")
+        return self.vocode(mel, key=key, **kwargs)
+
+    def _save_image_step(self, batch_size: int, step: int, key=None) -> None:
+        return None  # audio model: no image grids
+
+    def interpolate(self, *a, **k):
+        raise NotImplementedError()

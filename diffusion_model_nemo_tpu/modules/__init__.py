@@ -19,6 +19,7 @@ from .parts import (
     Upsample,
 )
 from .unet import Unet, WaveGradUNet
+from .wavegrad_audio import WaveGradVocoder
 from . import sde_lib
 from .sde_lib import SDE, VESDE, VPSDE, LikelihoodEstimate, subVPSDE
 from .sde_predictors import (

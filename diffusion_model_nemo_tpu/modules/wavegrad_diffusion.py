@@ -171,8 +171,11 @@ class WaveGradDiffusion(GaussianDiffusion):
             )
             if t_arr.ndim == 0:
                 # scalar-t fast path: broadcast the level over the batch for
-                # the FiLM network's [B, 1, 1, 1] conditioning input
-                noise_level = jnp.broadcast_to(noise_level, (x.shape[0], 1, 1, 1))
+                # the FiLM network's [B, 1, ...] conditioning input (rank
+                # follows the data: images [B,1,1,1], waveforms [B,1,1])
+                noise_level = jnp.broadcast_to(
+                    noise_level, (x.shape[0],) + (1,) * (x.ndim - 1)
+                )
         if model_output is None:
             model_output = model_fn(params, x, noise_level)
 

@@ -248,6 +248,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ util ----
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        n = self.mesh.devices.size
+        for k, v in batch.items():
+            if np.shape(v)[0] % n != 0:
+                raise ValueError(
+                    f"Batch dim of `{k}` ({np.shape(v)[0]}) must be divisible by "
+                    f"the data-parallel mesh size ({n}); adjust batch_size or "
+                    f"trainer.devices."
+                )
         return {
             k: jax.device_put(v, data_sharding(self.mesh, np.ndim(v))) for k, v in batch.items()
         }
