@@ -71,10 +71,20 @@ def _pallas_attention(q, k, v):
 
 
 def _use_pallas(q) -> bool:
+    """Pallas attention is OPT-IN (DMN_TPU_PALLAS_ATTN=1) below 1k tokens.
+
+    At the CIFAR bottleneck (N=16 tokens) the custom call costs ~0.19 ms/step
+    incl. surrounding layout copies vs XLA's fused einsum path; the kernel
+    pays off for longer sequences where the [N, N] score tensor would
+    otherwise round-trip HBM (auto-enabled from 1024 tokens)."""
+    import os
+
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     _, N, _, d = q.shape
-    return N <= _MAX_PALLAS_TOKENS
+    if N > _MAX_PALLAS_TOKENS:
+        return False
+    return N >= 1024 or os.environ.get("DMN_TPU_PALLAS_ATTN") == "1"
 
 
 @jax.custom_vjp

@@ -128,6 +128,20 @@ def _pallas_forward(x, gamma, beta, groups, eps, scale=None, shift=None):
 
 
 def _use_pallas(x) -> bool:
+    """Pallas GN is OPT-IN (DMN_TPU_PALLAS_NORM=1).
+
+    Profiling the 1000-step sampler on v5e (B=128, dim-32 U-Net) showed the
+    custom-call route costs ~2.1 ms/step in kernel time plus ~2.1 ms/step in
+    layout copies XLA inserts around the custom calls, while the convs
+    themselves are 0.3 ms/step — XLA's native GroupNorm+SiLU fusion folds
+    into neighbors and wins decisively at these small channel counts. The
+    kernel is kept (numerics verified on chip) for large-C/HW workloads
+    where a single fused VMEM pass beats fusion.
+    """
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_NORM") != "1":
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     B, H, W, C = x.shape
