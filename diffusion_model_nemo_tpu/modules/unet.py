@@ -70,26 +70,29 @@ class Unet(nn.Module):
     learned_variance: bool = False
     num_classes: Optional[int] = None
     dtype: str = "float32"
+    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
 
     def _block(self, dim_out: int, dtype, name: str):
         if self.use_convnext:
-            return ConvNextBlock(
-                dim_out,
+            cls = ConvNextBlock
+            kwargs = dict(
                 time_emb=self.with_time_emb,
                 mult=self.convnext_mult,
                 dropout=self.dropout,
                 dtype=dtype,
-                name=name,
             )
-        return ResnetBlock(
-            dim_out,
-            time_emb=self.with_time_emb,
-            groups=self.resnet_block_groups,
-            order=self.resnet_block_order,
-            dropout=self.dropout,
-            dtype=dtype,
-            name=name,
-        )
+        else:
+            cls = ResnetBlock
+            kwargs = dict(
+                time_emb=self.with_time_emb,
+                groups=self.resnet_block_groups,
+                order=self.resnet_block_order,
+                dropout=self.dropout,
+                dtype=dtype,
+            )
+        if self.remat:
+            cls = nn.remat(cls, static_argnums=())
+        return cls(dim_out, name=name, **kwargs)
 
     def _dims(self) -> Tuple[List[int], List[Tuple[int, int]]]:
         dim_mults = tuple(self.dim_mults) if self.dim_mults is not None else (1, 2, 4, 8)
