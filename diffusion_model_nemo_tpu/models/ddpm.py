@@ -86,9 +86,15 @@ class DDPM(AbstractDiffusionModel):
         key: Optional[jax.Array] = None,
         use_ema: bool = False,
         return_frames: bool = False,
+        mesh=None,
         **kwargs,
     ):
-        """Cached-jit fused sampling scan; returns [B, H, W, C] in [0, 1]."""
+        """Cached-jit fused sampling scan; returns [B, H, W, C] in [0, 1].
+
+        With ``mesh`` the batch dimension is sharded over the mesh's ``data``
+        axis (params replicated) — sampling throughput scales across chips
+        with zero code change to the scan (XLA partitions the loop body).
+        """
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
         model_fn = self.get_model_fn()
@@ -100,10 +106,23 @@ class DDPM(AbstractDiffusionModel):
                     model_fn, params, shape, key, return_frames=return_frames
                 )
 
-            return jax.jit(fn)
+            if mesh is None:
+                return jax.jit(fn)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frame_axes = P(None, "data", *([None] * len(shape[1:])))
+            out_shardings = NamedSharding(mesh, P("data", *([None] * (len(shape) - 1))))
+            if return_frames:
+                out_shardings = (out_shardings, NamedSharding(mesh, frame_axes))
+            return jax.jit(
+                fn,
+                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+                out_shardings=out_shardings,
+            )
 
         params = self.ema_params if use_ema else self.params
-        return self._jitted("sample", build, shape, return_frames)(params, key)
+        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
+        return self._jitted("sample", build, shape, return_frames, cache_mesh)(params, key)
 
     def interpolate(
         self,

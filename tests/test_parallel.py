@@ -72,3 +72,22 @@ def test_trainer_runs_on_mesh(tmp_path):
     assert trainer.mesh.devices.size == 8
     trainer.fit(model)
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(model.params)[0])))
+
+
+def test_sharded_sampling_matches_replicated(tmp_path):
+    """sample(mesh=...) shards the batch over the data axis and must produce
+    the same images as the unsharded path (same keys, same params)."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    plain = model.sample(batch_size=16, image_size=8, key=key)
+    model._jit_cache.clear()
+    sharded = model.sample(batch_size=16, image_size=8, key=key, mesh=mesh)
+
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
