@@ -5,5 +5,6 @@ from .hf_vision_data import (
     SyntheticVisionDataset,
     build_dataloader,
     get_reverse_transform,
+    get_transform,
     preprocess_batch,
 )

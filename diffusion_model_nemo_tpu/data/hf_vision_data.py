@@ -32,6 +32,7 @@ __all__ = [
     "DataLoader",
     "build_dataloader",
     "preprocess_batch",
+    "get_transform",
     "get_reverse_transform",
 ]
 
@@ -243,6 +244,41 @@ def preprocess_batch(
     if "label" in batch:
         out["label"] = batch["label"].astype(jnp.int32)
     return out
+
+
+def get_transform(image_size: int, scale: bool = True, center_crop: bool = False):
+    """Host-side image transform: resize (+optional center crop) → float HWC,
+    optionally scaled to [-1, 1] (reference hf_vision_data.py:57-72).
+
+    The training path normalizes on device instead (preprocess_batch); this
+    exists for eval/interpolation scripts that prepare individual images.
+    """
+
+    def transform(img) -> np.ndarray:
+        from PIL import Image
+
+        if isinstance(img, np.ndarray):
+            arr = img[..., 0] if (img.ndim == 3 and img.shape[-1] == 1) else img
+            img = Image.fromarray(arr)
+        w, h = img.size
+        if center_crop:
+            img = img.resize(
+                (max(image_size, int(image_size * w / h)), max(image_size, int(image_size * h / w))),
+                Image.BILINEAR,
+            )
+            w, h = img.size
+            left, top = (w - image_size) // 2, (h - image_size) // 2
+            img = img.crop((left, top, left + image_size, top + image_size))
+        else:
+            img = img.resize((image_size, image_size), Image.BILINEAR)
+        out = np.asarray(img, dtype=np.float32) / 255.0
+        if out.ndim == 2:
+            out = out[:, :, None]
+        if scale:
+            out = out * 2.0 - 1.0
+        return out
+
+    return transform
 
 
 def get_reverse_transform(inverse_scale: bool = True, uint: bool = False):

@@ -118,6 +118,12 @@ class AbstractDiffusionModel:
         dropout_rng = key if training else None
         return lambda params, x, t: self.model_fn(params, x, t, dropout_rng=dropout_rng)
 
+    def forward(self, x_t, t, classes=None):
+        """Reference-compatible convenience: apply the network with the
+        model's current params (reference models expose ``forward(x_t, t,
+        classes)``); pure code should use ``model_fn`` with explicit params."""
+        return self.model_fn(self.params, x_t, t, classes=classes)
+
     # ---- abstract API -----------------------------------------------------------
     def training_step(self, params, batch, key, step):
         raise NotImplementedError()
