@@ -8,3 +8,5 @@ from .hf_vision_data import (
     get_transform,
     preprocess_batch,
 )
+from .native import fast_stack, native_available
+from .prefetch import ThreadedPrefetcher

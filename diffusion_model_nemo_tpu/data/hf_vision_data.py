@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import logging
+from .native import fast_stack
 
 __all__ = [
     "HFVisionDataset",
@@ -192,9 +193,9 @@ class DataLoader:
             batch = {}
             for key in items[0]:
                 if key == "image":
-                    batch[key] = np.stack([self._resize(it[key]) for it in items])
+                    batch[key] = fast_stack([self._resize(it[key]) for it in items])
                 else:
-                    batch[key] = np.stack([it[key] for it in items])
+                    batch[key] = fast_stack([it[key] for it in items])
             yield batch
 
 

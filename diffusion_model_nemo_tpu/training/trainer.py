@@ -86,6 +86,10 @@ class Trainer:
         train_dl = model._train_dl
         if train_dl is None:
             raise ValueError("No training dataloader configured (model.cfg.train_ds)")
+        # Overlap host batch assembly with device steps (background thread).
+        from ..data.prefetch import ThreadedPrefetcher
+
+        train_dl = ThreadedPrefetcher(train_dl, depth=2)
 
         steps_per_epoch = max(len(train_dl) // self.accumulate_grad_batches, 1)
         if self.max_steps:
