@@ -238,6 +238,9 @@ class Trainer:
         test_dl = model._test_dl
         if test_dl is None:
             raise ValueError("No test dataloader configured (model.cfg.test_ds)")
+        from ..data.prefetch import ThreadedPrefetcher
+
+        test_dl = ThreadedPrefetcher(test_dl, depth=2)
 
         outputs = []
         limit = self.limit_test_batches
