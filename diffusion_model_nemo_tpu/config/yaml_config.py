@@ -25,6 +25,33 @@ from typing import Any, Dict, Iterable, List, Mapping, Optional, Union
 
 import yaml
 
+# pyyaml (YAML 1.1) parses `1e-5` as a *string* (the spec demands `1.0e-5`);
+# Hydra/OmegaConf accept the bare form and the reference's YAML uses it
+# (e.g. `min_lr: 1e-4`, `eps: 1e-5`). Patch a YAML-1.2-style float resolver
+# into a dedicated loader so scientific notation round-trips as float.
+class _FloatSafeLoader(yaml.SafeLoader):
+    pass
+
+
+_FloatSafeLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:
+         [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text):
+    return yaml.load(text, Loader=_FloatSafeLoader)
+
+
 __all__ = [
     "Config",
     "load_config",
@@ -102,7 +129,7 @@ def load_config(
     path: Union[str, Path], overrides: Optional[Iterable[str]] = None, resolve: bool = True
 ) -> Config:
     with open(path) as f:
-        cfg = from_dict(yaml.safe_load(f) or {})
+        cfg = from_dict(_yaml_load(f.read()) or {})
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     if resolve:
@@ -135,7 +162,7 @@ def apply_overrides(cfg: Config, overrides: Iterable[str]) -> Config:
         key, _, raw = ov.partition("=")
         allow_new = key.startswith("+")
         key = key.lstrip("+~")
-        value = yaml.safe_load(raw) if raw != "" else None
+        value = _yaml_load(raw) if raw != "" else None
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:

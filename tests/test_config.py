@@ -65,3 +65,19 @@ def test_yaml_roundtrip():
 
     again = yaml.safe_load(to_yaml(cfg))
     assert again == {"x": [1, 2], "y": {"z": None}}
+
+
+def test_scientific_notation_floats_parse_as_float(tmp_path):
+    """pyyaml (YAML 1.1) reads `1e-5` as a string; our loader must not —
+    the reference YAML uses bare scientific notation (min_lr: 1e-4)."""
+    p = tmp_path / "c.yaml"
+    p.write_text("eps: 1e-5\nmin_lr: 1e-4\nplain: 1.0e-3\nn: 17\nname: x\n")
+    cfg = load_config(p)
+    assert isinstance(cfg.eps, float) and cfg.eps == 1e-5
+    assert isinstance(cfg.min_lr, float)
+    assert cfg.plain == 1e-3
+    assert isinstance(cfg.n, int)
+    assert cfg.name == "x"
+    # dotted overrides too
+    out = apply_overrides(cfg, ["eps=5e-6"])
+    assert isinstance(out.eps, float) and out.eps == 5e-6
