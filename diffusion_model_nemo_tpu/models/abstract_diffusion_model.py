@@ -138,6 +138,12 @@ class AbstractDiffusionModel:
     def _setup_dataloader(self, cfg, mode: str):
         if cfg is None or cfg.get("name") is None:
             return None
+        if str(cfg.get("name", "")).startswith("synthetic"):
+            # synthetic datasets default to the model's geometry so eval
+            # scripts can say just `dataset_name=synthetic`
+            cfg = from_dict(cfg)
+            cfg.setdefault("image_size", self.image_size)
+            cfg.setdefault("channels", self.channels)
         return build_dataloader(cfg, mode=mode)
 
     def setup_training_data(self, train_data_config):
