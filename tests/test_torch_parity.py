@@ -149,3 +149,56 @@ def test_resnet_block_parity():
     fblock = ResnetBlock(dim_out, time_emb=True, groups=groups)
     fout = fblock.apply({"params": params}, jnp.asarray(x), jnp.asarray(temb))
     np.testing.assert_allclose(np.asarray(fout), tout, atol=2e-5)
+
+
+def test_wavegrad_positional_encoding_parity():
+    """Noise-level encoding matches the reference formula
+    (parts/film.py:11-25: 5000·level·(1e-4^(i/half)), sin‖cos)."""
+    from diffusion_model_nemo_tpu.modules.parts import PositionalEncoding
+
+    level = jnp.array([[[[0.3]]], [[[0.9]]]]).reshape(2, 1, 1, 1)
+    ours = np.asarray(PositionalEncoding(16).apply({}, level))  # [B,1,1,C]
+
+    lv = torch.tensor([0.3, 0.9])
+    half = 8
+    exponents = 1e-4 ** (torch.arange(half, dtype=torch.float32) / half)
+    exponents = 5000 * lv.unsqueeze(1) * exponents.unsqueeze(0)
+    expected = torch.cat([exponents.sin(), exponents.cos()], dim=-1).numpy()
+    np.testing.assert_allclose(ours[:, 0, 0, :], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_film_block_parity():
+    """FeatureWiseLinearModulation vs a torch replica of the reference
+    (parts/film.py:28-61): conv3x3+LeakyReLU(0.2) + PE -> scale/shift convs."""
+    from diffusion_model_nemo_tpu.modules.parts import FeatureWiseLinearModulation
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 6, 6, 4).astype(np.float32)
+    level_np = np.array([0.25, 0.75], np.float32)
+
+    sig = torch.nn.Conv2d(4, 4, 3, padding=1)
+    sc = torch.nn.Conv2d(4, 6, 3, padding=1)
+    sh = torch.nn.Conv2d(4, 6, 3, padding=1)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        h = torch.nn.functional.leaky_relu(sig(tx), 0.2)
+        half = 2
+        exponents = 1e-4 ** (torch.arange(half, dtype=torch.float32) / half)
+        pe = 5000 * torch.from_numpy(level_np).unsqueeze(1) * exponents.unsqueeze(0)
+        pe = torch.cat([pe.sin(), pe.cos()], dim=-1)  # [B, 4]
+        h = h + pe[:, :, None, None]
+        t_scale = sc(h).permute(0, 2, 3, 1).numpy()
+        t_shift = sh(h).permute(0, 2, 3, 1).numpy()
+
+    params = {
+        "signal_conv": {"kernel": conv_w(sig), "bias": conv_b(sig)},
+        "scale_conv": {"kernel": conv_w(sc), "bias": conv_b(sc)},
+        "shift_conv": {"kernel": conv_w(sh), "bias": conv_b(sh)},
+    }
+    film = FeatureWiseLinearModulation(6)
+    scale, shift = film.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(level_np).reshape(2, 1, 1, 1)
+    )
+    np.testing.assert_allclose(np.asarray(scale), t_scale, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(shift), t_shift, atol=2e-4)
