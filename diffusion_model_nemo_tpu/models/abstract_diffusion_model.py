@@ -190,21 +190,25 @@ class AbstractDiffusionModel:
             self._result_dir.mkdir(exist_ok=True, parents=True)
         return self._result_dir
 
-    def _save_image_step(self, batch_size: int, step: int, key=None) -> None:
+    def _save_image_step(self, batch_size: int, step: int, key=None):
         """Dump a grid of samples every ``save_every`` steps
-        (reference :107-125). Process-0 only under multi-host."""
+        (reference :107-125). Process-0 only under multi-host. Returns the
+        sampled images so the Trainer can forward them to TB/wandb."""
         if jax.process_index() != 0:
-            return
+            return None
         out_dir = self._prepare_output_dir()
         milestone = step // max(int(self.save_and_sample_every), 1)
         key = key if key is not None else jax.random.PRNGKey(step)
         batches = num_to_groups(4, batch_size)
+        all_imgs = []
         for idx, n in enumerate(batches):
             imgs = self.sample(batch_size=n, image_size=self.image_size, key=key)
             imgs = np.asarray(imgs if not isinstance(imgs, tuple) else imgs[0])
             save_path = str(out_dir / f"sample-{milestone}-{idx + 1}.png")
             save_image_grid(imgs, save_path, nrow=6)
             logging.info(f"Images saved at path : {save_path}")
+            all_imgs.append(imgs)
+        return np.concatenate(all_imgs) if all_imgs else None
 
     # ---- bits/dim ------------------------------------------------------------------------
     def calculate_bits_per_dimension(

@@ -74,6 +74,18 @@ class ExpManagerHooks:
         pretty = ", ".join(f"{k}={v:.5g}" for k, v in scalars.items())
         logging.info(f"step {step}: {pretty}")
 
+    def log_images(self, tag: str, images, step: int) -> None:
+        """Log a sample grid to TB/wandb (images: [B, H, W, C] in [0, 1])."""
+        from ..utils.image import make_grid
+
+        grid = make_grid(images, nrow=6)  # HWC uint8
+        if self.tb_writer:
+            self.tb_writer.add_image(tag, grid, step, dataformats="HWC")
+        if self.wandb_run:
+            import wandb
+
+            self.wandb_run.log({tag: wandb.Image(grid)}, step=step)
+
     def maybe_checkpoint(self, step: int, state: Dict[str, Any], metrics=None) -> None:
         if self.ckpt_mgr and step % self.ckpt_every == 0:
             self.ckpt_mgr.save(step, _host_state(state), metrics=metrics)

@@ -197,7 +197,9 @@ class Trainer:
                 save_every = int(model.save_and_sample_every or 0)
                 if save_every and step % save_every == 0:
                     model.params, model.ema_params = params, ema_params
-                    model._save_image_step(batch_size=64, step=step)
+                    imgs = model._save_image_step(batch_size=64, step=step)
+                    if imgs is not None and self.exp_manager_hooks:
+                        self.exp_manager_hooks.log_images("samples", imgs, step)
                     if model.cfg.get("compute_bpd", False):
                         from ..data.hf_vision_data import preprocess_batch
 
