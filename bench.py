@@ -56,7 +56,8 @@ def main() -> None:
     # Python loop with .cpu() each iteration. Timed over a slice of the chain
     # and scaled (the per-step cost is t-independent). If this leg fails
     # (e.g. compile-service hiccup), fall back to the last measured value so
-    # the primary metric still reports.
+    # the primary metric still reports — and say so in the JSON.
+    baseline_fallback = False
     try:
         step_jit = jax.jit(
             lambda p, x, t, k: sampler.p_sample(model_fn, p, x, t, k)
@@ -74,6 +75,7 @@ def main() -> None:
         eager_sps = BATCH / eager_time
     except Exception:
         eager_sps = 1.386  # measured on this chip at B=128 (2026-08-16)
+        baseline_fallback = True
 
     result = {
         "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
@@ -82,6 +84,7 @@ def main() -> None:
         "vs_baseline": round(fused_sps / eager_sps, 3),
         "baseline": "reference-style per-step dispatch + host sync on same chip",
         "baseline_value": round(eager_sps, 4),
+        "baseline_fallback": baseline_fallback,
         "batch": BATCH,
         "timesteps": T,
     }

@@ -51,15 +51,16 @@ class WavegradDDPM(DDPM):
         loss = self.loss(input=model_output, target=noise)
         return loss, {"train_loss": loss}
 
-    def _save_image_step(self, batch_size: int, step: int, key=None) -> None:
+    def _save_image_step(self, batch_size: int, step: int, key=None):
         """Fast eval: search a 50-step schedule, sample, restore
-        (reference wavegrad_ddpm.py:67-90)."""
+        (reference wavegrad_ddpm.py:67-90). Returns the sampled images so
+        the Trainer's TB/wandb image hook fires for WaveGrad runs too."""
         self.sampler.search_noise_schedule_coefficients(timesteps=50, iters=100, seed=0, verbose=False)
         self.sampler.change_noise_schedule(verbose=False)
         self.sampler.compute_constants(timesteps=50)
         self._jit_cache.clear()
         try:
-            super()._save_image_step(batch_size, step, key=key)
+            return super()._save_image_step(batch_size, step, key=key)
         finally:
             self.sampler.change_noise_schedule(reset_cfg=True, verbose=False)
             self.sampler.compute_constants(timesteps=self.sampler.original_timesteps)

@@ -21,7 +21,7 @@ import numpy as np
 
 from ...config.registry import register_target
 from .score_fn import resolve_score_function
-from ...ops.ode import odeint_rk45
+from ...ops.ode import odeint_rk45, poison_on_failure
 from .sde_lib import SDE
 
 __all__ = ["LikelihoodEstimate"]
@@ -101,7 +101,8 @@ class LikelihoodEstimate:
             atol=self.atol,
             max_steps=self.max_steps,
         )
-        z, delta_logp = sol.y
+        # Solver exhaustion would silently corrupt bits/dim — NaN-poison instead.
+        z, delta_logp = poison_on_failure(sol, sol.y, "likelihood estimation")
         prior_logp = self.sde.prior_logp(z)
         N = np.prod(shape[1:])
         bpd = -(prior_logp + delta_logp) / np.log(2)

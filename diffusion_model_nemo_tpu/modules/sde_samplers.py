@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config.registry import register_target
 from .sde_lib.score_fn import resolve_score_function
-from ..ops.ode import odeint_rk45
+from ..ops.ode import odeint_rk45, poison_on_failure
 from .sde_correctors import NoneCorrector, get_corrector
 from .sde_lib.sde_lib import SDE
 from .sde_predictors import NonePredictor, ReverseDiffusionPredictor, get_predictor
@@ -184,7 +184,8 @@ class ProbabilityFlowSampler:
         sol = odeint_rk45(
             ode_func, x, self.sde.T, eps, rtol=self.rtol, atol=self.atol, max_steps=self.max_steps
         )
-        x = sol.y
+        # Solver exhaustion must not pass as a converged sample (VERDICT r1 #7).
+        x = poison_on_failure(sol, sol.y, "probability-flow sampling")
         if self.denoise:
             x = self.denoise_update_fn(model_fn, params, x, eps, dn_key)
 

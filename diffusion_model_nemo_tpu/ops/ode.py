@@ -19,7 +19,7 @@ from typing import Any, Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["odeint_rk45", "ODESolution"]
+__all__ = ["odeint_rk45", "ODESolution", "poison_on_failure"]
 
 # Dormand–Prince 5(4) Butcher tableau (same as scipy RK45).
 _C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
@@ -137,3 +137,29 @@ def odeint_rk45(
     init = (t0, y0, h0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
     t, y, h, nfe, step, done = jax.lax.while_loop(cond, body, init)
     return ODESolution(y=y, nfev=nfe, success=done)
+
+
+def poison_on_failure(sol: ODESolution, tree: Any, what: str) -> Any:
+    """NaN-poison ``tree`` when the solver exhausted ``max_steps``.
+
+    Hitting ``max_steps`` means the last iterate is NOT a converged solution;
+    returning it as-is would silently corrupt samples / bits-per-dim. A traced
+    predicate cannot raise under jit, so instead the result is made impossible
+    to mistake for success: float leaves become NaN (the Trainer's non-finite
+    halt and any downstream consumer will trip on them) and a device-side
+    warning is printed.
+    """
+    def _warn(_):
+        jax.debug.print(
+            "WARNING: RK45 exhausted max_steps before reaching t1 during "
+            + what
+            + "; results are NaN-poisoned (raise max_steps or loosen rtol/atol)"
+        )
+
+    jax.lax.cond(sol.success, lambda _: None, _warn, None)
+    return jax.tree.map(
+        lambda a: jnp.where(sol.success, a, jnp.nan).astype(a.dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact)
+        else a,
+        tree,
+    )
