@@ -1,5 +1,6 @@
 from .hf_vision_data import (
     DataLoader,
+    FileVisionDataset,
     HFVisionDataset,
     SyntheticAudioDataset,
     SyntheticVisionDataset,

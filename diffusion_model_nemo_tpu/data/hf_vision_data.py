@@ -28,6 +28,7 @@ from .native import fast_stack
 
 __all__ = [
     "HFVisionDataset",
+    "FileVisionDataset",
     "SyntheticVisionDataset",
     "SyntheticAudioDataset",
     "DataLoader",
@@ -78,6 +79,105 @@ class HFVisionDataset:
         if self.has_label:
             out["label"] = np.int32(ex["label"])
         return out
+
+
+class FileVisionDataset:
+    """Offline dataset from local files (``train_ds.name=file``): real data
+    without network egress (HF ``load_dataset`` needs a hub round-trip even
+    for cached sets in some modes; this path needs none).
+
+    Accepted ``path`` values:
+
+    - ``*.npz`` — arrays under ``image_key`` (+ optional ``label_key``);
+    - ``*.npy`` — a single image array (no labels);
+    - a directory of image files (png/jpg/jpeg/bmp), lazily PIL-decoded per
+      item (parallel decode via ``DataLoader(num_workers=...)``), with an
+      optional ``labels.npy`` aligned to the sorted file order.
+
+    Image arrays may be NCHW or NHWC, uint8 or float in [0, 1] / [-1, 1] —
+    normalized here to uint8 HWC like every other dataset.
+    """
+
+    _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+    def __init__(
+        self,
+        path: str,
+        image_key: str = "images",
+        label_key: str = "labels",
+        mode: str = "train",
+    ):
+        from pathlib import Path
+
+        p = Path(path)
+        if not p.exists():
+            raise FileNotFoundError(f"FileVisionDataset path does not exist: {path}")
+        self._files = None
+        self._images = None
+        self._labels = None
+        if p.is_dir():
+            self._files = sorted(
+                f for f in p.iterdir() if f.suffix.lower() in self._IMG_EXTS
+            )
+            if not self._files:
+                raise ValueError(f"No image files ({self._IMG_EXTS}) found under {path}")
+            lbl = p / "labels.npy"
+            if lbl.exists():
+                self._labels = np.load(lbl).astype(np.int32)
+                if len(self._labels) != len(self._files):
+                    raise ValueError(
+                        f"labels.npy has {len(self._labels)} entries for "
+                        f"{len(self._files)} image files"
+                    )
+        elif p.suffix == ".npz":
+            data = np.load(p)
+            if image_key not in data:
+                raise KeyError(
+                    f"`{image_key}` not in {path} (has {list(data.keys())}); "
+                    "set train_ds.image_key"
+                )
+            self._images = _to_uint8_nhwc(data[image_key])
+            if label_key in data:
+                self._labels = data[label_key].astype(np.int32).reshape(-1)
+        elif p.suffix == ".npy":
+            self._images = _to_uint8_nhwc(np.load(p))
+        else:
+            raise ValueError(f"Unsupported dataset file type: {path}")
+
+    def __len__(self) -> int:
+        return len(self._files) if self._files is not None else self._images.shape[0]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        i = int(idx)
+        if self._files is not None:
+            from PIL import Image
+
+            img = np.asarray(Image.open(self._files[i]).convert("RGB"), dtype=np.uint8)
+        else:
+            img = self._images[i]
+        out = {"image": img}
+        if self._labels is not None:
+            out["label"] = np.int32(self._labels[i])
+        return out
+
+
+def _to_uint8_nhwc(arr: np.ndarray) -> np.ndarray:
+    """[N,...] images in any common layout/dtype → uint8 NHWC."""
+    if arr.ndim == 3:  # [N, H, W] grayscale
+        arr = arr[..., None]
+    if arr.ndim != 4:
+        raise ValueError(f"Expected [N,H,W,C] / [N,C,H,W] / [N,H,W] images, got {arr.shape}")
+    # NCHW → NHWC when the channel-like axis is 1/3/4 and the last axis isn't.
+    if arr.shape[1] in (1, 3, 4) and arr.shape[-1] not in (1, 3, 4):
+        arr = np.transpose(arr, (0, 2, 3, 1))
+    if arr.dtype != np.uint8:
+        a = arr.astype(np.float32)
+        if a.min() < -0.001:  # [-1, 1]
+            a = (a + 1.0) * 127.5
+        elif a.max() <= 1.001:  # [0, 1]
+            a = a * 255.0
+        arr = np.clip(np.round(a), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(arr)
 
 
 class SyntheticVisionDataset:
@@ -143,6 +243,13 @@ class DataLoader:
 
     Replaces torch DataLoader; batches are contiguous numpy arrays ready for
     a single host→device transfer (optionally sharded by the Trainer).
+
+    ``num_workers`` (the reference YAML field, unet_small.yaml:19) maps to a
+    thread pool over the per-item fetch/decode/resize — PIL decode and numpy
+    copies release the GIL, so threads parallelize real decode work without
+    torch's worker *processes* (no IPC, no tensor pickling). ``pin_memory``
+    is accepted for config parity and ignored: host→TPU transfers don't
+    stage through pinned CUDA buffers.
     """
 
     def __init__(
@@ -153,6 +260,10 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         image_size: Optional[int] = None,
+        num_workers: int = 0,
+        pin_memory: bool = False,  # parity no-op
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -160,10 +271,26 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.image_size = image_size
+        self.num_workers = max(int(num_workers or 0), 0)
+        # Multi-host data sharding: each process reads a disjoint strided
+        # slice of the (identically-shuffled) index order; batch_size is
+        # per-process. Defaults make single-process the trivial special case.
+        self.process_index = jax.process_index() if process_index is None else int(process_index)
+        self.process_count = jax.process_count() if process_count is None else int(process_count)
+        self._pool = None
         self._epoch = 0
 
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="data-worker"
+            )
+        return self._pool
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -178,25 +305,31 @@ class DataLoader:
             out = out[:, :, None]
         return out
 
+    def _fetch(self, idx) -> Dict[str, np.ndarray]:
+        item = self.dataset[idx]
+        if "image" in item:
+            item = dict(item)
+            item["image"] = self._resize(item["image"])
+        return item
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_count > 1:  # same shuffle everywhere, disjoint slices
+            order = order[self.process_index :: self.process_count]
         self._epoch += 1
 
         nb = len(self)
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            items = [self.dataset[i] for i in idxs]
-            batch = {}
-            for key in items[0]:
-                if key == "image":
-                    batch[key] = fast_stack([self._resize(it[key]) for it in items])
-                else:
-                    batch[key] = fast_stack([it[key] for it in items])
-            yield batch
+            if self.num_workers > 0:
+                items = list(self._executor().map(self._fetch, idxs))
+            else:
+                items = [self._fetch(i) for i in idxs]
+            yield {key: fast_stack([it[key] for it in items]) for key in items[0]}
 
 
 def build_dataloader(cfg, mode: str) -> DataLoader:
@@ -217,6 +350,13 @@ def build_dataloader(cfg, mode: str) -> DataLoader:
             length=int(cfg.get("length", 512)),
             mode=mode,
         )
+    elif name == "file":
+        dataset = FileVisionDataset(
+            path=str(cfg.get("path")),
+            image_key=str(cfg.get("image_key", "images")),
+            label_key=str(cfg.get("label_key", "labels")),
+            mode=mode,
+        )
     else:
         dataset = HFVisionDataset(
             name=name, split=cfg.get("split"), cache_dir=cfg.get("cache_dir"), mode=mode
@@ -228,6 +368,8 @@ def build_dataloader(cfg, mode: str) -> DataLoader:
         shuffle=bool(cfg.get("shuffle", mode == "train")),
         seed=int(cfg.get("seed", 0)),
         image_size=cfg.get("resize_to"),
+        num_workers=int(cfg.get("num_workers", 0) or 0),
+        pin_memory=bool(cfg.get("pin_memory", False)),
     )
 
 
