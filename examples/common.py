@@ -26,6 +26,16 @@ _repo_root = str(Path(__file__).resolve().parents[1])
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
+# DMN_TPU_PLATFORM=cpu forces the jax backend (CI drives the CLIs on the
+# virtual CPU mesh; env vars alone don't switch backends when a
+# sitecustomize pre-imports jax, so update the config after import).
+import os as _os
+
+if _os.environ.get("DMN_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DMN_TPU_PLATFORM"])
+
 from diffusion_model_nemo_tpu.config import from_dict, load_config
 
 
