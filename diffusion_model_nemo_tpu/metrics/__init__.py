@@ -1,1 +1,7 @@
 from .fid import FIDScorer, compute_statistics, frechet_distance
+from .inception import (
+    INCEPTION_FEATURE_DIM,
+    InceptionV3,
+    inception_feature_fn,
+    load_inception_variables,
+)

@@ -36,6 +36,13 @@ class FIDConfig:
     ddim_timesteps: int = 50
     seed: int = 0
     use_ema: bool = True
+    # Standard Inception FID: path to a local torchvision/pytorch-fid
+    # InceptionV3 checkpoint (.pth/.pt/.bin/.npz). Unset → the on-chip
+    # extractor runs with seeded RANDOM weights: a relative regression
+    # metric only, labeled as such in the output.
+    feature_weights_path: Optional[str] = None
+    # 'inception' (default) or 'pixels' (the old weight-free moments fallback)
+    feature_extractor: str = "inception"
 
 
 @hydra_runner(config_path=None, config_name="FIDConfig", schema=FIDConfig)
@@ -54,7 +61,22 @@ def main(cfg):
         {"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size}, mode="test"
     )
 
-    scorer = FIDScorer()
+    if cfg.feature_extractor == "inception":
+        from diffusion_model_nemo_tpu.metrics import inception_feature_fn
+
+        feature_fn = inception_feature_fn(
+            weights_path=cfg.feature_weights_path, batch_size=cfg.batch_size
+        )
+        label = (
+            "InceptionV3-pool3 (standard FID)"
+            if not feature_fn.using_random_weights
+            else "InceptionV3-pool3 with RANDOM weights (relative metric only)"
+        )
+    else:
+        feature_fn, label = None, "pixel moments (relative metric only)"
+    logging.info(f"FID feature extractor: {label}")
+
+    scorer = FIDScorer(feature_fn=feature_fn)
     seen = 0
     for batch in dl:
         scorer.update_real(batch["image"])
@@ -74,8 +96,8 @@ def main(cfg):
         logging.info(f"generated {generated}/{cfg.num_samples}")
 
     fid = scorer.compute()
-    logging.info(f"FID ({generated} generated vs {seen} real): {fid:.4f}")
-    print(f"FID: {fid:.4f}")
+    logging.info(f"FID [{label}] ({generated} generated vs {seen} real): {fid:.4f}")
+    print(f"FID: {fid:.4f} [{label}]")
 
 
 if __name__ == "__main__":
