@@ -6,29 +6,69 @@ against a reference-style eager loop measured on the same chip: one jit
 dispatch per timestep plus a per-step host copy of the image (exactly what
 the reference's ``p_sample_loop`` does — gaussian_diffusion.py:170-189).
 
+Also reports MFU so "speed-of-light" is checkable, not asserted: FLOPs come
+from XLA's cost analysis of one compiled U-Net forward × NFE (the sampler's
+non-network math is negligible), divided by wall time × the chip's peak. A
+second leg benches a realistic dim-128 model (1.76M-param dim-32 under-uses
+the MXU by construction).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   "mfu_pct": ..., "dim128": {...}}
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+T = 1000
+IMG = 32
 
-def main() -> None:
+# Peak dense-matmul throughput by device kind (bf16 FLOP/s). The network
+# computes in bfloat16 (model cfg dtype), which is what the MXU path uses.
+_PEAK_TABLE = {
+    "v5 lite": 197e12,  # TPU v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,
+    "trillium": 918e12,
+}
+
+
+def _peak_flops(device) -> tuple:
+    kind = getattr(device, "device_kind", "unknown").lower()
+    for k, v in _PEAK_TABLE.items():
+        if k in kind:
+            return v, kind
+    return 197e12, f"{kind} (assumed v5e-class peak)"
+
+
+def _forward_flops(model_fn, params, shape) -> float:
+    """XLA-estimated FLOPs of one compiled network forward at ``shape``."""
     import jax
     import jax.numpy as jnp
 
+    x = jnp.zeros(shape, jnp.float32)
+    t = jnp.zeros((shape[0],), jnp.float32)
+    compiled = jax.jit(model_fn).lower(params, x, t).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def _bench_model(dim: int, batch: int, runs: int, peak: float) -> dict:
+    """Fused-scan sampling throughput + MFU for one model size."""
+    import jax
+
     from __graft_entry__ import _flagship
 
-    BATCH = 128  # throughput saturates ~B>=128 on v5e for this net
-    T = 1000
-    IMG = 32
-
-    model = _flagship(image_size=IMG, dim=32, dim_mults=(1, 2, 2, 2), timesteps=T)
+    model = _flagship(image_size=IMG, dim=dim, dim_mults=(1, 2, 2, 2), timesteps=T)
     model.init_params(jax.random.PRNGKey(0))
     params = model.params
     net = model.diffusion_model
@@ -37,19 +77,43 @@ def main() -> None:
     def model_fn(p, x, t):
         return net.apply({"params": p}, x, t)
 
-    shape = (BATCH, IMG, IMG, 3)
-
-    # ---- fused scan sampler (ours) -----------------------------------------
+    shape = (batch, IMG, IMG, 3)
     fused = jax.jit(lambda p, k: sampler.p_sample_loop(model_fn, p, shape, k))
     key = jax.random.PRNGKey(1)
     fused(params, key).block_until_ready()  # compile
-    runs = 3
     t0 = time.perf_counter()
+    out = None
     for i in range(runs):
         out = fused(params, jax.random.fold_in(key, i))
     out.block_until_ready()
-    fused_time = (time.perf_counter() - t0) / runs
-    fused_sps = BATCH / fused_time
+    sec = (time.perf_counter() - t0) / runs
+
+    flops_total = _forward_flops(model_fn, params, shape) * T
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    return {
+        "sps": batch / sec,
+        "sec_per_chain": sec,
+        "mfu_pct": 100.0 * flops_total / (sec * peak),
+        "flops_per_forward": flops_total / T,
+        "params": n_params,
+        "model_fn": model_fn,
+        "model": model,
+        "params_tree": params,
+        "sampler": sampler,
+        "shape": shape,
+    }
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    BATCH = 128  # throughput saturates ~B>=128 on v5e for this net
+    peak, device_kind = _peak_flops(jax.devices()[0])
+
+    # ---- flagship dim-32 (the north-star config) -----------------------------
+    r32 = _bench_model(dim=32, batch=BATCH, runs=3, peak=peak)
+    fused_sps = r32["sps"]
 
     # ---- reference-style eager loop (baseline emulation) ---------------------
     # One jitted step per t + per-step host transfer, like the reference's
@@ -59,9 +123,10 @@ def main() -> None:
     # the primary metric still reports — and say so in the JSON.
     baseline_fallback = False
     try:
-        step_jit = jax.jit(
-            lambda p, x, t, k: sampler.p_sample(model_fn, p, x, t, k)
-        )
+        sampler, model_fn, params = r32["sampler"], r32["model_fn"], r32["params_tree"]
+        shape = r32["shape"]
+        key = jax.random.PRNGKey(1)
+        step_jit = jax.jit(lambda p, x, t, k: sampler.p_sample(model_fn, p, x, t, k))
         x = jax.random.normal(key, shape)
         t_b = jnp.full((BATCH,), T - 1, jnp.int32)
         np.asarray(step_jit(params, x, t_b, key))  # compile
@@ -77,6 +142,21 @@ def main() -> None:
         eager_sps = 1.386  # measured on this chip at B=128 (2026-08-16)
         baseline_fallback = True
 
+    # ---- realistic model size: dim-128 ---------------------------------------
+    # 8x better MXU efficiency than dim-32 (STATUS r1); skippable for quick
+    # runs via DMN_BENCH_FULL=0.
+    dim128 = None
+    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
+        try:
+            r128 = _bench_model(dim=128, batch=BATCH, runs=1, peak=peak)
+            dim128 = {
+                "sps": round(r128["sps"], 4),
+                "mfu_pct": round(r128["mfu_pct"], 2),
+                "params": r128["params"],
+            }
+        except Exception as e:  # report the primary metric regardless
+            dim128 = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
         "value": round(fused_sps, 4),
@@ -85,6 +165,11 @@ def main() -> None:
         "baseline": "reference-style per-step dispatch + host sync on same chip",
         "baseline_value": round(eager_sps, 4),
         "baseline_fallback": baseline_fallback,
+        "mfu_pct": round(r32["mfu_pct"], 2),
+        "flops_per_forward": r32["flops_per_forward"],
+        "device_kind": device_kind,
+        "peak_bf16_flops": peak,
+        "dim128": dim128,
         "batch": BATCH,
         "timesteps": T,
     }
