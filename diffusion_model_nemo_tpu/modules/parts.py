@@ -225,15 +225,16 @@ class LinearAttention(nn.Module):
         scale = self.dim_head**-0.5
 
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
 
-        q = jax.nn.softmax(q, axis=-1)  # over channel dim d
-        k = jax.nn.softmax(k, axis=1)  # over spatial dim N
-        q = q * scale
+        from ..ops.attention import fused_linear_attention_qkv
 
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32)
+        # Fused block (Pallas on TPU): the raw [B, H·W, 3·h·d] conv output is
+        # consumed in its natural layout — softmaxes + both contractions in
+        # one VMEM pass, none of the layout copies XLA inserts for the
+        # per-head einsums (ops/attention.py).
+        out = fused_linear_attention_qkv(
+            qkv.reshape(B, H * W, 3 * hidden), self.heads, self.dim_head, scale
+        )
         out = out.astype(x.dtype).reshape(B, H, W, hidden)
 
         out = nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)

@@ -17,7 +17,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_attention", "attention_reference"]
+__all__ = [
+    "fused_attention",
+    "attention_reference",
+    "linear_attention",
+    "linear_attention_reference",
+    "fused_linear_attention_qkv",
+    "linear_attention_qkv_reference",
+]
 
 _MAX_PALLAS_TOKENS = 4096
 
@@ -106,3 +113,181 @@ def _bwd(res, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------- linear attn ----
+def linear_attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, h, d] (q softmaxed over d & scaled, k softmaxed over N) →
+    [B, N, h, d]; the reference's per-head einsum formulation
+    (parts/mha.py:51-57)."""
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bhde,bnhd->bnhe", context.astype(q.dtype), q, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+_MAX_MERGED_HEAD_DIM = 512
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Layout-native linear attention: merged-head matmuls + block-diag mask.
+
+    The per-head einsums ``bnhd,bnhe->bhde`` / ``bhde,bnhd->bnhe`` make XLA
+    lay the [B, N, h, d] operands out N-minor, inserting four full-tensor
+    layout copies per attention layer (measured 4 × 75 µs/step at N=1024 on
+    v5e — ALL of the sampling scan's copy time). Merging heads keeps the
+    natural [B, N, h·d] layout (h·d = 128 = one lane tile) for both matmuls:
+
+        gram = Kᵀ·V   [B, h·d, h·d]   contraction over N, operands N-major
+        gram ∘= block-diag mask       (zero cross-head products)
+        out  = Q·gram [B, N, h·d]
+
+    Identical math to the per-head form (cross-head terms are exactly the
+    masked-off blocks) at h× the FLOPs of a tiny op — ~16 µs of extra MXU
+    work buys back ~300 µs of copies. Falls back to the per-head form when
+    h·d is too large for the FLOP trade to pay."""
+    B, N, h, d = q.shape
+    if h * d > _MAX_MERGED_HEAD_DIM:
+        return linear_attention_reference(q, k, v)
+    qm = q.reshape(B, N, h * d)  # minor-dim reshape: a bitcast, not a copy
+    km = k.reshape(B, N, h * d)
+    vm = v.reshape(B, N, h * d)
+    gram = jnp.einsum("bnc,bnk->bck", km, vm, preferred_element_type=jnp.float32)
+    mask = jax.scipy.linalg.block_diag(*([jnp.ones((d, d), gram.dtype)] * h))
+    gram = gram * mask
+    out = jnp.einsum(
+        "bnc,bck->bnk", qm, gram.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype).reshape(B, N, h, d)
+
+
+# ------------------------------------------- fully fused linear attention ----
+def linear_attention_qkv_reference(
+    qkv: jnp.ndarray, heads: int, dim_head: int, scale: float
+) -> jnp.ndarray:
+    """XLA path for the fused linear-attention block: raw qkv conv output
+    [B, N, 3·h·d] → [B, N, h·d] (softmaxes + both contractions)."""
+    B, N, _ = qkv.shape
+    hd = heads * dim_head
+    q = qkv[..., :hd].reshape(B, N, heads, dim_head)
+    k = qkv[..., hd : 2 * hd].reshape(B, N, heads, dim_head)
+    v = qkv[..., 2 * hd :].reshape(B, N, heads, dim_head)
+    q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * scale
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+    out = linear_attention(q.astype(qkv.dtype), k.astype(qkv.dtype), v)
+    return out.reshape(B, N, hd)
+
+
+def _linattn_kernel(qkv_ref, o_ref, *, heads: int, dim_head: int, scale: float):
+    """One batch element per grid step, everything in VMEM.
+
+    The qkv block arrives in its natural [1, N, 3·h·d] lane layout (no host
+    or HBM transposes): Q = lanes [0, hd), K = [hd, 2hd), V = [2hd, 3hd).
+    Per-head softmax over d uses a row-max (a constant within each head's
+    group, so the softmax is exact) and gets its per-head denominators by a
+    matmul with the block-diagonal ones mask — no lane reshapes needed.
+    """
+    hd = heads * dim_head
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    mask = (ri == ci).astype(jnp.float32)  # block-diagonal head mask
+
+    # Several batch elements per grid step (unrolled) amortize the per-step
+    # grid overhead, which dominates these tiny dots.
+    for b in range(qkv_ref.shape[0]):
+        x = qkv_ref[b]
+        q = x[:, :hd].astype(jnp.float32)
+        k = x[:, hd : 2 * hd].astype(jnp.float32)
+        v = x[:, 2 * hd :].astype(jnp.float32)
+
+        # softmax over d within each head (row max is one constant per row →
+        # constant within every head group → exact); per-head sums broadcast
+        # to the head's lanes via the mask matmul.
+        qe = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+        q_den = jax.lax.dot_general(
+            qe, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        q_sm = qe / q_den * scale
+
+        # softmax over N per (head, channel) column
+        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+        k_sm = ke / jnp.sum(ke, axis=0, keepdims=True)
+
+        gram = jax.lax.dot_general(
+            k_sm, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [hd, hd]; cross-head blocks are masked off
+        gram = gram * mask
+        out = jax.lax.dot_general(
+            q_sm, gram, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[b] = out.astype(o_ref.dtype)
+
+
+def _pallas_linear_attention(qkv, heads, dim_head, scale, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C3 = qkv.shape
+    hd = heads * dim_head
+    # Pick the largest per-step batch block whose working set (~N·C3·6B for
+    # the bf16 input + f32 intermediates, per element; the unrolled loop
+    # keeps only ~one element's intermediates live) stays inside VMEM.
+    budget = 12 * 1024 * 1024
+    block_b = max(min(B, budget // max(N * C3 * 6, 1)), 1)
+    while B % block_b:
+        block_b -= 1
+    kernel = functools.partial(_linattn_kernel, heads=heads, dim_head=dim_head, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, hd), qkv.dtype),
+        grid=(B // block_b,),
+        in_specs=[pl.BlockSpec((block_b, N, C3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_b, N, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv)
+
+
+def _use_pallas_linattn(qkv, heads, dim_head) -> bool:
+    """Auto-on on TPU: unlike the merge-transpose attention kernel, this one
+    consumes the qkv tensor in its natural layout (operand = the 1×1-conv
+    output bitcast), so there are no custom-call layout copies to pay for.
+    Measured on v5e at dim-32/B=128 it removes the ~0.3 ms/step of layout
+    copies XLA inserts around the per-head einsum formulation. Opt-out:
+    DMN_TPU_PALLAS_LINATTN=0."""
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_LINATTN") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
+    B, N, _ = qkv.shape
+    hd = heads * dim_head
+    return hd % 128 == 0 and N % 8 == 0 and N <= _MAX_PALLAS_TOKENS
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_linear_attention_qkv(
+    qkv: jnp.ndarray, heads: int, dim_head: int, scale: float
+) -> jnp.ndarray:
+    """Fused linear-attention block: [B, N, 3·h·d] qkv → [B, N, h·d].
+
+    Pallas on TPU (softmaxes + both matmuls in one VMEM pass per batch
+    element, natural layouts in and out); XLA fallback elsewhere. Reverse
+    mode recomputes through the XLA path (custom_vjp — do not jvp)."""
+    if _use_pallas_linattn(qkv, heads, dim_head):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_linear_attention(qkv, heads, dim_head, scale, interpret=interpret)
+    return linear_attention_qkv_reference(qkv, heads, dim_head, scale)
+
+
+def _linattn_fwd(qkv, heads, dim_head, scale):
+    return fused_linear_attention_qkv(qkv, heads, dim_head, scale), qkv
+
+
+def _linattn_bwd(heads, dim_head, scale, qkv, g):
+    _, vjp = jax.vjp(lambda t: linear_attention_qkv_reference(t, heads, dim_head, scale), qkv)
+    return vjp(g)
+
+
+fused_linear_attention_qkv.defvjp(_linattn_fwd, _linattn_bwd)

@@ -80,3 +80,69 @@ def test_fused_attention_gradients():
     g1 = jax.grad(lambda q: fused_attention(q, k, v).sum())(q)
     g2 = jax.grad(lambda q: attention_reference(q, k, v).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_linear_attention_merged_matches_per_head():
+    """The layout-native merged-head formulation (block-diag masked gram)
+    must equal the reference per-head einsums exactly in math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_model_nemo_tpu.ops.attention import (
+        linear_attention,
+        linear_attention_reference,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, N, h, d = 2, 64, 4, 32
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, N, h, d)) for i in range(3))
+    q = jax.nn.softmax(q, axis=-1) * d**-0.5
+    k = jax.nn.softmax(k, axis=1)
+    merged = np.asarray(linear_attention(q, k, v))
+    ref = np.asarray(linear_attention_reference(q, k, v))
+    np.testing.assert_allclose(merged, ref, rtol=1e-5, atol=1e-6)
+
+    # fallback path for large merged head dims
+    qb, kb, vb = (jnp.tile(t, (1, 1, 5, 1)) for t in (q, k, v))  # h*d = 640 > 512
+    big = np.asarray(linear_attention(qb, kb, vb))
+    big_ref = np.asarray(linear_attention_reference(qb, kb, vb))
+    np.testing.assert_allclose(big, big_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_linear_attention_merged_gradients():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_model_nemo_tpu.ops.attention import (
+        linear_attention,
+        linear_attention_reference,
+    )
+
+    key = jax.random.PRNGKey(3)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (1, 16, 4, 32)) for i in range(3))
+    g1 = jax.grad(lambda a, b, c: jnp.sum(linear_attention(a, b, c) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b, c: jnp.sum(linear_attention_reference(a, b, c) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):  # fp32 accumulation order differs → loose rtol
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_linear_attention_qkv_kernel_matches_reference(monkeypatch):
+    """The Pallas fused linear-attention block (run in interpret mode on CPU)
+    must match the XLA reference path on raw qkv conv output."""
+    import jax
+    import numpy as np
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    key = jax.random.PRNGKey(5)
+    B, N, h, d = 2, 64, 4, 32
+    qkv = jax.random.normal(key, (B, N, 3 * h * d)) * 2.0
+    ref = np.asarray(A.linear_attention_qkv_reference(qkv, h, d, d**-0.5))
+
+    monkeypatch.setenv("DMN_TPU_PALLAS_LINATTN", "interpret")
+    out = np.asarray(A.fused_linear_attention_qkv(qkv, h, d, d**-0.5))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # gradient flows through the custom_vjp (reference recompute)
+    g = jax.grad(lambda t: A.fused_linear_attention_qkv(t, h, d, d**-0.5).sum())(qkv)
+    g_ref = jax.grad(lambda t: A.linear_attention_qkv_reference(t, h, d, d**-0.5).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
