@@ -179,6 +179,36 @@ class ConvNextBlock(nn.Module):
         return h + x
 
 
+class Conv1x1(nn.Module):
+    """1×1 convolution computed as a matmul over flattened tokens.
+
+    Owns the identical parameters to ``nn.Conv(features, (1, 1))`` — kernel
+    ``[1, 1, C, F]`` (+ bias ``[F]``) — so checkpoints and torch weight
+    transplants are unchanged, but consumes/produces the ``[B, N, C]`` token
+    view as a plain dot. On TPU this keeps the attention block in the default
+    minor-to-major layout end to end: XLA's 1×1-conv emitter mandates a
+    batch-in-sublanes output layout, which costs a full-tensor relayout copy
+    (100 MB/step at the 32×32 level, 0.27 ms/step measured on v5e) right
+    before the layout-native Pallas linear-attention call.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C] → [B, N, features]
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, C, self.features), jnp.float32
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Attention(nn.Module):
     """Full softmax attention over flattened H·W tokens (bottleneck only).
 
@@ -196,15 +226,18 @@ class Attention(nn.Module):
         hidden = self.heads * self.dim_head
         scale = self.dim_head**-0.5
 
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = Conv1x1(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(
+            x.reshape(B, H * W, C)
+        )
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
 
         from ..ops.attention import fused_attention
 
         out = fused_attention(q * scale, k, v)  # Pallas on TPU, XLA fallback
-        out = out.astype(x.dtype).reshape(B, H, W, hidden)
-        return nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
+        out = out.astype(x.dtype).reshape(B, H * W, hidden)
+        out = Conv1x1(C, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(B, H, W, C)
 
 
 class LinearAttention(nn.Module):
@@ -224,20 +257,20 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         scale = self.dim_head**-0.5
 
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = Conv1x1(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(
+            x.reshape(B, H * W, C)
+        )
 
         from ..ops.attention import fused_linear_attention_qkv
 
-        # Fused block (Pallas on TPU): the raw [B, H·W, 3·h·d] conv output is
+        # Fused block (Pallas on TPU): the raw [B, H·W, 3·h·d] projection is
         # consumed in its natural layout — softmaxes + both contractions in
         # one VMEM pass, none of the layout copies XLA inserts for the
         # per-head einsums (ops/attention.py).
-        out = fused_linear_attention_qkv(
-            qkv.reshape(B, H * W, 3 * hidden), self.heads, self.dim_head, scale
-        )
-        out = out.astype(x.dtype).reshape(B, H, W, hidden)
+        out = fused_linear_attention_qkv(qkv, self.heads, self.dim_head, scale)
+        out = out.astype(x.dtype)
 
-        out = nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
+        out = Conv1x1(C, dtype=self.dtype, name="to_out")(out).reshape(B, H, W, C)
         return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="out_norm")(out)
 
 
