@@ -340,6 +340,58 @@ class Residual(nn.Module):
         return self.fn(x, *args, **kwargs) + x
 
 
+class _GNParams(nn.Module):
+    """Declares ``nn.GroupNorm``'s parameters (scale/bias) without computing —
+    used to route them into a fused op while keeping the checkpoint tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return s, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Declares ``Conv1x1``'s parameters (conv-shaped kernel [+ bias])."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _LinAttnParams(nn.Module):
+    """Declares ``LinearAttention``'s parameter tree (to_qkv/to_out/out_norm)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self):
+        hidden = self.heads * self.dim_head
+        w_qkv, _ = _Conv1x1Params(self.dim, hidden * 3, use_bias=False, name="to_qkv")()
+        w_out, b_out = _Conv1x1Params(hidden, self.dim, name="to_out")()
+        og, ob = _GNParams(self.dim, name="out_norm")()
+        return w_qkv, w_out, b_out, og, ob
+
+
 class SelfAttentionBlock(nn.Module):
     """``Residual(PreNorm(Attention-or-LinearAttention))`` as one module.
 
@@ -347,6 +399,18 @@ class SelfAttentionBlock(nn.Module):
     params across auto-named top-level collections in flax; this block owns
     its submodules so the param tree nests cleanly under the U-Net's
     ``{down,up,mid}_*_attn`` names.
+
+    The linear variant can route the WHOLE block (both GroupNorms, both 1×1
+    projections, attention, residual) through one fused op
+    (ops/attention.py:fused_linear_attention_block) — **opt-in** via
+    DMN_TPU_PALLAS_LINATTN_BLOCK=1. Measured on v5e at dim-32/B=128 the
+    whole-block kernel LOSES to the composed path (57.6 vs 98.6 sps): at
+    small N the per-element unrolled loop serializes, and at N=1024 the
+    in-kernel f32 VPU work plus C=32 contractions underfill the MXU, while
+    XLA pipelines the same chain across its own fusions. The composed path
+    (XLA norms/projections + the layout-native Pallas qkv kernel) is the
+    default; both paths share one parameter tree, so checkpoints and torch
+    transplants are unaffected.
     """
 
     linear: bool = True
@@ -356,6 +420,23 @@ class SelfAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
+        if self.linear and os.environ.get("DMN_TPU_PALLAS_LINATTN_BLOCK") == "1":
+            from ..ops.attention import fused_linear_attention_block
+
+            B, H, W, C = x.shape
+            ng, nb = _GNParams(C, name="norm")()
+            w_qkv, w_out, b_out, og, ob = _LinAttnParams(
+                C, self.heads, self.dim_head, name="attn"
+            )()
+            out = fused_linear_attention_block(
+                x.reshape(B, H * W, C).astype(self.dtype),
+                ng, nb, w_qkv[0, 0], w_out[0, 0], b_out, og, ob,
+                self.heads, self.dim_head, self.dim_head**-0.5, 1e-5,
+            )
+            return out.reshape(B, H, W, C)
+
         h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         attn_cls = LinearAttention if self.linear else Attention
         h = attn_cls(heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name="attn")(h)

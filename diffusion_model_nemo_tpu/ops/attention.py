@@ -24,6 +24,8 @@ __all__ = [
     "linear_attention_reference",
     "fused_linear_attention_qkv",
     "linear_attention_qkv_reference",
+    "fused_linear_attention_block",
+    "linear_attention_block_reference",
 ]
 
 _MAX_PALLAS_TOKENS = 4096
@@ -291,3 +293,216 @@ def _linattn_bwd(heads, dim_head, scale, qkv, g):
 
 
 fused_linear_attention_qkv.defvjp(_linattn_fwd, _linattn_bwd)
+
+
+# -------------------------------------- fully fused linear-attention BLOCK ----
+def _gn1(x, gamma, beta, eps):
+    """flax ``nn.GroupNorm(num_groups=1)`` numerics on [B, N, C]: float32
+    fast-variance stats over (N, C) clipped at zero, float32 normalize+affine,
+    result cast back to the input dtype (normalization.py `_compute_stats` /
+    `_normalize`)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def linear_attention_block_reference(
+    x: jnp.ndarray,
+    norm_gamma: jnp.ndarray,
+    norm_beta: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    out_gamma: jnp.ndarray,
+    out_beta: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """XLA path for the whole ``Residual(PreNorm(LinearAttention))`` block:
+    [B, N, C] → GroupNorm(1) → qkv matmul ([C, 3·h·d]) → linear attention →
+    out matmul ([h·d, C]) + bias → GroupNorm(1) → + x. Exactly the module
+    composition in parts.py:SelfAttentionBlock (same casts at each seam)."""
+    h = _gn1(x, norm_gamma, norm_beta, eps)
+    qkv = jnp.dot(h, w_qkv.astype(h.dtype))
+    attn = linear_attention_qkv_reference(qkv, heads, dim_head, scale)
+    out = jnp.dot(attn.astype(x.dtype), w_out.astype(x.dtype)) + b_out.astype(x.dtype)
+    out = _gn1(out, out_gamma, out_beta, eps)
+    return out + x
+
+
+def _linattn_block_kernel(
+    x_ref, ng_ref, nb_ref, wqkv_ref, wout_ref, bout_ref, og_ref, ob_ref, o_ref,
+    *, heads: int, dim_head: int, scale: float, eps: float,
+):
+    """Entire linear-attention block per batch element, one VMEM pass.
+
+    Replaces prenorm stats+apply, the qkv projection, the attention
+    contractions, the out projection, the out-norm stats+apply, and the
+    residual add — currently ≥6 HBM round trips of the [N, C]/[N, 3·h·d]
+    tensors — with one read of x and one write of the result. Matmul inputs
+    are cast to bfloat16 (float32 accumulation), matching the XLA reference
+    path's seams; norms are float32.
+    """
+    hd = heads * dim_head
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    mask = (ri == ci).astype(jnp.float32)  # block-diagonal head mask
+
+    wqkv = wqkv_ref[...].astype(jnp.bfloat16)
+    wout = wout_ref[...].astype(jnp.bfloat16)
+    bout = bout_ref[...].astype(jnp.float32)
+    ng = ng_ref[...].astype(jnp.float32)
+    nb = nb_ref[...].astype(jnp.float32)
+    og = og_ref[...].astype(jnp.float32)
+    ob = ob_ref[...].astype(jnp.float32)
+
+    for b in range(x_ref.shape[0]):
+        x = x_ref[b].astype(jnp.float32)  # [N, C]
+        n_elems = x.shape[0] * x.shape[1]
+
+        # PreNorm: GroupNorm(1) over the whole sample, f32 fast variance.
+        mean = jnp.sum(x) / n_elems
+        mean2 = jnp.sum(x * x) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        h = (x - mean) * jax.lax.rsqrt(var + eps) * ng + nb
+
+        qkv = jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, 3hd]
+        q = qkv[:, :hd]
+        k = qkv[:, hd : 2 * hd]
+        v = qkv[:, 2 * hd :]
+
+        # per-head softmax over d (row max constant within head groups);
+        # per-head denominators via the block-diagonal ones matmul.
+        qe = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+        q_den = jax.lax.dot_general(
+            qe, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        q_sm = qe / q_den * scale
+
+        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+        k_sm = ke / jnp.sum(ke, axis=0, keepdims=True)
+
+        gram = jax.lax.dot_general(
+            k_sm.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [hd, hd]
+        gram = gram * mask
+        attn = jax.lax.dot_general(
+            q_sm.astype(jnp.bfloat16), gram.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [N, hd]
+
+        y = jax.lax.dot_general(
+            attn.astype(jnp.bfloat16), wout, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout  # [N, C]
+
+        mean = jnp.sum(y) / n_elems
+        mean2 = jnp.sum(y * y) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        out = ((y - mean) * jax.lax.rsqrt(var + eps)) * og + ob
+
+        o_ref[b] = (out + x).astype(o_ref.dtype)
+
+
+def _pallas_linear_attention_block(
+    x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps, interpret=False
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    hd = heads * dim_head
+    # Working set per element ≈ f32 x + qkv + attn intermediates; keep a few
+    # elements per grid step to amortize grid overhead at small N.
+    per_elem = (N * C * 2 + N * 3 * hd) * 4 + N * C * 2
+    budget = 12 * 1024 * 1024
+    block_b = max(min(B, budget // max(per_elem, 1)), 1)
+    while B % block_b:
+        block_b -= 1
+
+    kernel = functools.partial(
+        _linattn_block_kernel, heads=heads, dim_head=dim_head, scale=scale, eps=eps
+    )
+    vec_spec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat_spec = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sample_spec = pl.BlockSpec((block_b, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B // block_b,),
+        in_specs=[
+            sample_spec,
+            vec_spec(C), vec_spec(C),
+            mat_spec(C, 3 * hd), mat_spec(hd, C), vec_spec(C),
+            vec_spec(C), vec_spec(C),
+        ],
+        out_specs=sample_spec,
+        interpret=interpret,
+    )(x, ng, nb, wqkv, wout, bout, og, ob)
+
+
+def _use_pallas_linattn_block(x, heads, dim_head) -> bool:
+    """Auto-on on TPU under the same conditions as the qkv kernel (natural
+    layouts in and out, h·d a multiple of the 128-lane tile). Opt-out:
+    DMN_TPU_PALLAS_LINATTN=0 (same switch as the qkv kernel)."""
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_LINATTN") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
+    B, N, C = x.shape
+    hd = heads * dim_head
+    return hd % 128 == 0 and N % 8 == 0 and N <= _MAX_PALLAS_TOKENS
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_linear_attention_block(
+    x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+    heads: int, dim_head: int, scale: float, eps: float = 1e-5,
+):
+    """Whole ``Residual(PreNorm(LinearAttention))`` block on [B, N, C].
+
+    Pallas on TPU — one VMEM pass per batch element covering both GroupNorms,
+    both projections, and the attention contractions; XLA module-equivalent
+    composition elsewhere. Reverse mode recomputes through the XLA path
+    (custom_vjp — do not jvp)."""
+    if _use_pallas_linattn_block(x, heads, dim_head):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_linear_attention_block(
+            x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+            heads, dim_head, scale, eps, interpret=interpret,
+        )
+    return linear_attention_block_reference(
+        x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+        heads, dim_head, scale, eps,
+    )
+
+
+def _linattn_block_fwd(x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps):
+    out = fused_linear_attention_block(
+        x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps
+    )
+    return out, (x, ng, nb, wqkv, wout, bout, og, ob)
+
+
+def _linattn_block_bwd(heads, dim_head, scale, eps, res, g):
+    x, ng, nb, wqkv, wout, bout, og, ob = res
+    _, vjp = jax.vjp(
+        lambda *a: linear_attention_block_reference(*a, heads, dim_head, scale, eps),
+        x, ng, nb, wqkv, wout, bout, og, ob,
+    )
+    return vjp(g)
+
+
+fused_linear_attention_block.defvjp(_linattn_block_fwd, _linattn_block_bwd)

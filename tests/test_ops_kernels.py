@@ -146,3 +146,109 @@ def test_fused_linear_attention_qkv_kernel_matches_reference(monkeypatch):
     g = jax.grad(lambda t: A.fused_linear_attention_qkv(t, h, d, d**-0.5).sum())(qkv)
     g_ref = jax.grad(lambda t: A.linear_attention_qkv_reference(t, h, d, d**-0.5).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_linear_attention_block_reference_matches_module_composition():
+    """The one-shot block reference (norm → qkv → attn → out → norm → +x)
+    must equal the composed flax modules it replaces in SelfAttentionBlock."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    key = jax.random.PRNGKey(7)
+    B, H, W, C, h, d = 2, 8, 8, 32, 4, 32
+    hd = h * d
+    x = jax.random.normal(key, (B, H * W, C))
+    ks = jax.random.split(key, 8)
+    ng = jax.random.normal(ks[0], (C,)) * 0.1 + 1.0
+    nb = jax.random.normal(ks[1], (C,)) * 0.1
+    w_qkv = jax.random.normal(ks[2], (C, 3 * hd)) * C**-0.5
+    w_out = jax.random.normal(ks[3], (hd, C)) * hd**-0.5
+    b_out = jax.random.normal(ks[4], (C,)) * 0.1
+    og = jax.random.normal(ks[5], (C,)) * 0.1 + 1.0
+    ob = jax.random.normal(ks[6], (C,)) * 0.1
+
+    got = A.linear_attention_block_reference(
+        x, ng, nb, w_qkv, w_out, b_out, og, ob, h, d, d**-0.5
+    )
+
+    gn = nn.GroupNorm(num_groups=1, epsilon=1e-5)
+    hpre = gn.apply({"params": {"scale": ng, "bias": nb}}, x)
+    qkv = jnp.dot(hpre, w_qkv)
+    attn = A.linear_attention_qkv_reference(qkv, h, d, d**-0.5)
+    out = jnp.dot(attn, w_out) + b_out
+    out = gn.apply({"params": {"scale": og, "bias": ob}}, out)
+    expected = out + x
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_linear_attention_block_kernel_matches_reference(monkeypatch):
+    """Pallas block kernel (interpret mode on CPU) vs the XLA composition,
+    in bfloat16 (the production dtype) and with gradients flowing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    key = jax.random.PRNGKey(11)
+    B, N, C, h, d = 2, 64, 32, 4, 32
+    hd = h * d
+    ks = jax.random.split(key, 8)
+    x = (jax.random.normal(ks[7], (B, N, C))).astype(jnp.bfloat16)
+    ng = jax.random.normal(ks[0], (C,)) * 0.1 + 1.0
+    nb = jax.random.normal(ks[1], (C,)) * 0.1
+    w_qkv = jax.random.normal(ks[2], (C, 3 * hd)) * C**-0.5
+    w_out = jax.random.normal(ks[3], (hd, C)) * hd**-0.5
+    b_out = jax.random.normal(ks[4], (C,)) * 0.1
+    og = jax.random.normal(ks[5], (C,)) * 0.1 + 1.0
+    ob = jax.random.normal(ks[6], (C,)) * 0.1
+    args = (x, ng, nb, w_qkv, w_out, b_out, og, ob)
+
+    ref = A.linear_attention_block_reference(*args, h, d, d**-0.5).astype(jnp.float32)
+
+    monkeypatch.setenv("DMN_TPU_PALLAS_LINATTN", "interpret")
+    out = A.fused_linear_attention_block(*args, h, d, d**-0.5).astype(jnp.float32)
+    # bf16 tensors, f32 norms/accumulation in both paths
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    g = jax.grad(
+        lambda w: A.fused_linear_attention_block(
+            x, ng, nb, w, w_out, b_out, og, ob, h, d, d**-0.5
+        ).astype(jnp.float32).sum()
+    )(w_qkv)
+    g_ref = jax.grad(
+        lambda w: A.linear_attention_block_reference(
+            x, ng, nb, w, w_out, b_out, og, ob, h, d, d**-0.5
+        ).astype(jnp.float32).sum()
+    )(w_qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_self_attention_block_fused_path_params_and_output(monkeypatch):
+    """The opt-in whole-block fused path must create the identical parameter
+    tree as the composed-module default, and produce the same output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_model_nemo_tpu.modules.parts import SelfAttentionBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 32))
+    blk = SelfAttentionBlock(linear=True)
+
+    monkeypatch.delenv("DMN_TPU_PALLAS_LINATTN_BLOCK", raising=False)
+    params_default = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_default = blk.apply({"params": params_default}, x)
+
+    monkeypatch.setenv("DMN_TPU_PALLAS_LINATTN_BLOCK", "1")
+    params_fused = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_fused = blk.apply({"params": params_fused}, x)
+
+    assert jax.tree.structure(params_default) == jax.tree.structure(params_fused)
+    for a, b in zip(jax.tree.leaves(params_default), jax.tree.leaves(params_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_default), rtol=1e-5, atol=1e-5
+    )
