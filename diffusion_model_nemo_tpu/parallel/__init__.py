@@ -6,3 +6,9 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .sharding import (
+    STRATEGIES,
+    infer_param_shardings,
+    make_strategy_mesh,
+    param_shardings_for_strategy,
+)

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import make_mesh, put_global_batch, replicated_sharding
+from ..parallel.mesh import put_global_batch
+from ..parallel.sharding import make_strategy_mesh, param_shardings_for_strategy
 from ..utils import logging
 from .ema import ema_update
 from .optim import build_optimizer
@@ -48,7 +49,8 @@ class Trainer:
         log_every_n_steps: int = 10,
         ema_decay: float = 0.9999,
         seed: int = 42,
-        strategy: Optional[str] = None,  # accepted for config parity; mesh DP always
+        strategy: Optional[str] = None,  # ddp (default) | fsdp | tensor_parallel | fsdp_tp
+        tp_size: int = 1,
         accelerator: str = "auto",
         limit_test_batches: Optional[float] = None,
         profile_dir: Optional[str] = None,
@@ -75,10 +77,20 @@ class Trainer:
 
         all_devices = jax.devices()
         n = len(all_devices) if int(devices) in (-1, 0) else min(int(devices), len(all_devices))
-        self.mesh = make_mesh(all_devices[:n])
+        # The reference's YAML says ``strategy: ddp`` (PTL DDP over NCCL,
+        # examples/configs/ddpm/unet_small.yaml:88); here the strategy picks
+        # the mesh topology + parameter layout and XLA SPMD emits the
+        # collectives (parallel/sharding.py).
+        self.strategy = (strategy or "ddp").lower()
+        if self.strategy in ("none", "null", "auto", "dp"):
+            self.strategy = "ddp"
+        self.mesh = make_strategy_mesh(all_devices[:n], self.strategy, tp_size)
         self.global_step = 0
         self.exp_manager_hooks = None  # set by exp_manager()
-        logging.info(f"Trainer using {n} device(s): mesh axes {self.mesh.axis_names}")
+        logging.info(
+            f"Trainer using {n} device(s): strategy={self.strategy}, "
+            f"mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+        )
 
     # ------------------------------------------------------------------ fit ----
     def fit(self, model, resume_state: Optional[Dict[str, Any]] = None) -> None:
@@ -108,22 +120,28 @@ class Trainer:
         if model.params is None:
             model.init_params(jax.random.PRNGKey(self.seed))
 
-        rep = replicated_sharding(self.mesh)
-        params = jax.device_put(model.params, rep)
-        ema_params = jax.device_put(model.ema_params, rep)
-        opt_state = jax.device_put(tx.init(params), rep)
+        # Parameter layout by strategy: replicated (ddp), sharded over data
+        # (fsdp), or sharded over the model axis (tensor_parallel). EMA and
+        # optimizer state always mirror the parameter layout — tx.init is
+        # jitted with the sharded params so XLA propagates the shardings into
+        # mu/nu (and the fresh opt state tells us the layout to restore into).
+        p_shard = param_shardings_for_strategy(model.params, self.mesh, self.strategy)
+        params = jax.device_put(model.params, p_shard)
+        ema_params = jax.device_put(model.ema_params, p_shard)
+        opt_state = jax.jit(tx.init)(params)
         start_step = 0
 
         if resume_state is not None:
-            params = jax.device_put(resume_state["params"], rep)
-            ema_params = jax.device_put(resume_state["ema_params"], rep)
+            params = jax.device_put(resume_state["params"], p_shard)
+            ema_params = jax.device_put(resume_state["ema_params"], p_shard)
             # Orbax returns raw nested containers; rebuild the optax state's
             # NamedTuple structure from the freshly-initialized template.
             restored_opt = resume_state["opt_state"]
+            opt_shard = jax.tree.map(lambda x: x.sharding, opt_state)
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(opt_state), jax.tree.leaves(restored_opt)
             )
-            opt_state = jax.device_put(opt_state, rep)
+            opt_state = jax.device_put(opt_state, opt_shard)
             start_step = int(resume_state["step"])
             logging.info(f"Resumed training from step {start_step}")
 
@@ -351,7 +369,11 @@ class Trainer:
         each process contributes only its local rows
         (``jax.make_array_from_process_local_data``); the loader shards rows
         per process (DataLoader process_index/process_count)."""
-        n_local = self.mesh.devices.size // jax.process_count()
+        # Rows are split over the ``data`` axis only (a tensor-parallel
+        # ``model`` axis replicates the batch), and each process feeds the
+        # rows its addressable devices own.
+        data_size = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["data"]
+        n_local = max(data_size // jax.process_count(), 1)
         dim = 1 if stacked else 0
         for k, v in batch.items():
             if np.shape(v)[dim] % n_local != 0:

@@ -91,3 +91,101 @@ def test_sharded_sampling_matches_replicated(tmp_path):
 
     assert sharded.sharding.num_devices == 8
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
+
+
+# ---------------------------------------------------------------- strategies ----
+# ddp | fsdp | tensor_parallel | fsdp_tp parameter layouts (parallel/sharding.py).
+# The reference's only strategy is PTL DDP by YAML (unet_small.yaml:88); the
+# extra layouts are the TPU-native scale-out story and must be bit-compatible
+# with it — XLA SPMD relays out the tensors, the math is unchanged.
+
+from diffusion_model_nemo_tpu.parallel import (
+    infer_param_shardings,
+    make_strategy_mesh,
+    param_shardings_for_strategy,
+)
+
+
+def _wide_model(tmp_path):
+    """dim-32 variant so feature dims are big enough to actually shard."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    cfg["diffusion_model"]["dim"] = 32
+    cfg["diffusion_model"]["resnet_block_groups"] = 8
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+def test_strategy_mesh_shapes():
+    m1 = make_strategy_mesh(strategy="fsdp")
+    assert m1.axis_names == ("data",) and m1.devices.size == 8
+    m2 = make_strategy_mesh(strategy="tensor_parallel", tp_size=4)
+    assert m2.axis_names == ("data", "model") and m2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_strategy_mesh(strategy="tensor_parallel", tp_size=3)
+
+
+def test_infer_param_shardings_splits_wide_leaves(tmp_path):
+    model = _wide_model(tmp_path)
+    mesh = make_strategy_mesh(strategy="tensor_parallel", tp_size=4)
+    shardings = infer_param_shardings(model.params, mesh, axis="model")
+    flat_p = jax.tree.leaves(model.params)
+    flat_s = jax.tree.leaves(
+        shardings, is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding)
+    )
+    n_split = sum(1 for s in flat_s if "model" in str(s.spec))
+    assert n_split > 0, "no parameter was tensor-sharded"
+    for p, s in zip(flat_p, flat_s):
+        dims = [d for d in s.spec if d is not None]
+        if dims:  # every sharded dim divides evenly with >= 8 elems/shard
+            i = list(s.spec).index(dims[0])
+            assert p.shape[i] % 4 == 0 and p.shape[i] // 4 >= 8
+
+
+@pytest.mark.parametrize("strategy,tp_size", [("fsdp", 1), ("tensor_parallel", 4), ("fsdp_tp", 4)])
+def test_strategy_grads_match_single_device(tmp_path, strategy, tp_size):
+    """Sharded-parameter training grads == single-device grads: FSDP and TP
+    are layout changes only; XLA inserts the all-gathers/reduce-scatters."""
+    model = _wide_model(tmp_path)
+    batch = {
+        "image": np.random.RandomState(0).randint(0, 255, (16, 8, 8, 1)).astype(np.uint8),
+        "label": np.zeros((16,), np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+    step = jnp.asarray(0)
+    grad_fn = jax.jit(jax.grad(lambda p, b, k, s: model.training_step(p, b, k, s)[0]))
+
+    b1 = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), batch)
+    g1 = grad_fn(model.params, b1, key, step)
+
+    mesh = make_strategy_mesh(strategy=strategy, tp_size=tp_size)
+    p_shard = param_shardings_for_strategy(model.params, mesh, strategy)
+    ps = jax.device_put(model.params, p_shard)
+    bs = shard_batch(mesh, batch)
+    g2 = grad_fn(ps, bs, key, step)
+
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("strategy,tp_size", [("fsdp", 1), ("tensor_parallel", 4)])
+def test_trainer_strategy_end_to_end(tmp_path, strategy, tp_size):
+    """Trainer(strategy=...) runs a short fit with the sharded layout and
+    leaves finite, correctly-laid-out params on the model."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+    from diffusion_model_nemo_tpu.training import Trainer
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    cfg["diffusion_model"]["dim"] = 32
+    cfg["diffusion_model"]["resnet_block_groups"] = 8
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(
+        devices=-1, max_steps=2, log_every_n_steps=1, strategy=strategy, tp_size=tp_size
+    )
+    assert trainer.mesh.devices.size == 8
+    trainer.fit(model)
+    for leaf in jax.tree.leaves(model.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
