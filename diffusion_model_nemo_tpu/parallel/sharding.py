@@ -95,7 +95,12 @@ def infer_param_shardings(
     )
 
     def leaf_sharding(leaf):
-        shape = np.shape(leaf)
+        # works on arrays and on jax.eval_shape's ShapeDtypeStructs alike,
+        # so optimizer-state layouts can be inferred without materializing
+        shape = getattr(leaf, "shape", None)
+        if shape is None:
+            shape = np.shape(leaf)
+        shape = tuple(shape)
         spec = [None] * len(shape)
         # Output features last in both flax Conv (H, W, I, O) and Dense
         # (in, out) kernels; biases/scales are 1-D over output channels.

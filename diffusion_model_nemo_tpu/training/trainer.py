@@ -122,13 +122,18 @@ class Trainer:
 
         # Parameter layout by strategy: replicated (ddp), sharded over data
         # (fsdp), or sharded over the model axis (tensor_parallel). EMA and
-        # optimizer state always mirror the parameter layout — tx.init is
-        # jitted with the sharded params so XLA propagates the shardings into
-        # mu/nu (and the fresh opt state tells us the layout to restore into).
+        # optimizer state mirror the parameter layout. The opt-state layout
+        # must be REQUESTED via out_shardings (inferred from eval_shape with
+        # the same strategy rule): tx.init's outputs are data-independent
+        # zeros, so without it XLA constant-places them on one device and the
+        # update jit later rejects the mixed device sets.
         p_shard = param_shardings_for_strategy(model.params, self.mesh, self.strategy)
         params = jax.device_put(model.params, p_shard)
         ema_params = jax.device_put(model.ema_params, p_shard)
-        opt_state = jax.jit(tx.init)(params)
+        opt_shard = param_shardings_for_strategy(
+            jax.eval_shape(tx.init, params), self.mesh, self.strategy
+        )
+        opt_state = jax.jit(tx.init, out_shardings=opt_shard)(params)
         start_step = 0
 
         if resume_state is not None:
@@ -137,7 +142,6 @@ class Trainer:
             # Orbax returns raw nested containers; rebuild the optax state's
             # NamedTuple structure from the freshly-initialized template.
             restored_opt = resume_state["opt_state"]
-            opt_shard = jax.tree.map(lambda x: x.sharding, opt_state)
             opt_state = jax.tree.unflatten(
                 jax.tree.structure(opt_state), jax.tree.leaves(restored_opt)
             )

@@ -70,3 +70,32 @@ def test_archive_restore_has_ema(tmp_path):
     a = np.asarray(jax.tree.leaves(ema_model.params)[0])
     b = np.asarray(jax.tree.leaves(raw_model.params)[0])
     assert not np.allclose(a, b)  # EMA lags the raw params after 3 steps
+
+
+def test_checkpoint_and_resume_under_fsdp(tmp_path):
+    """Checkpoint/resume with sharded state (strategy=fsdp): the host copy
+    gathers the shards, and resume re-device_puts into the current layout —
+    so a run checkpointed under fsdp continues identically."""
+    cfg = tiny_ddpm_cfg(tmp_path)
+    cfg["diffusion_model"]["dim"] = 32  # wide enough that leaves actually shard
+    cfg["diffusion_model"]["resnet_block_groups"] = 8
+
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(devices=-1, max_steps=4, log_every_n_steps=2, strategy="fsdp")
+    hooks = exp_manager(trainer, exp_cfg(tmp_path))
+    trainer.fit(model, resume_state=hooks.resume_state)
+    hooks.ckpt_mgr.wait()
+    assert hooks.ckpt_mgr.latest_step() == 4
+
+    model2 = DDPM(cfg=cfg)
+    model2.init_params(jax.random.PRNGKey(1))
+    trainer2 = Trainer(devices=-1, max_steps=6, log_every_n_steps=2, strategy="fsdp")
+    hooks2 = exp_manager(trainer2, exp_cfg(tmp_path, resume=True))
+    assert int(hooks2.resume_state["step"]) == 4
+    trainer2.fit(model2, resume_state=hooks2.resume_state)
+    assert trainer2.global_step == 6
+
+    resumed_leaf = np.asarray(jax.tree.leaves(hooks2.resume_state["params"])[0])
+    final_leaf = np.asarray(jax.tree.leaves(model.params)[0])
+    np.testing.assert_allclose(resumed_leaf, final_leaf, atol=1e-6)
