@@ -48,16 +48,22 @@ STRATEGIES = ("ddp", "fsdp", "tensor_parallel", "fsdp_tp")
 def make_strategy_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     strategy: Optional[str] = None,
-    tp_size: int = 1,
+    tp_size: int = 0,
 ) -> Mesh:
     """Mesh for a strategy: 1-D ``(data,)`` unless tensor parallel is on,
-    then 2-D ``(data, model)`` with ``model`` of size ``tp_size``."""
+    then 2-D ``(data, model)`` with ``model`` of size ``tp_size``.
+
+    ``tp_size`` <= 0 means auto: the largest of 4/2/1 dividing the device
+    count (never raises). An explicit ``tp_size`` is honored verbatim —
+    including the degenerate 1 — and raises if it does not divide."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     strategy = (strategy or "ddp").lower()
     if strategy in ("tensor_parallel", "tp", "fsdp_tp"):
-        tp = int(tp_size) if int(tp_size) > 1 else min(n, 4)
+        tp = int(tp_size)
+        if tp <= 0:
+            tp = next(t for t in (4, 2, 1) if n % t == 0)
         if n % tp != 0:
             raise ValueError(f"tp_size {tp} must divide device count {n}")
         return make_mesh(devices, axis_names=("data", "model"), shape=(n // tp, tp))
@@ -89,10 +95,8 @@ def infer_param_shardings(
     dimension over ``axis`` (output features first). With ``extra_axis``
     (fsdp_tp), a second dimension is sharded over that axis too when one
     qualifies."""
-    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
-    extra_size = (
-        dict(zip(mesh.axis_names, mesh.devices.shape))[extra_axis] if extra_axis else 0
-    )
+    axis_size = mesh.shape[axis]
+    extra_size = mesh.shape[extra_axis] if extra_axis else 0
 
     def leaf_sharding(leaf):
         # works on arrays and on jax.eval_shape's ShapeDtypeStructs alike,

@@ -115,11 +115,24 @@ class ExpManagerHooks:
 
 def _host_state(state: Dict[str, Any]) -> Dict[str, Any]:
     """Copy device arrays to host numpy before handing to (async) orbax —
-    the live buffers are donated by the next train-step call."""
+    the live buffers are donated by the next train-step call.
+
+    Multi-host: a jax.Array sharded across processes (fsdp under
+    jax.distributed) is not fully addressable locally, so np.asarray would
+    raise; such leaves are gathered with process_allgather first (every
+    process then writes identical full checkpoints, matching the
+    single-file restore path)."""
     import jax
     import numpy as np
 
-    return jax.tree.map(lambda x: np.asarray(x), state)
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(to_host, state)
 
 
 def exp_manager(trainer, cfg) -> Optional[ExpManagerHooks]:

@@ -50,7 +50,7 @@ class Trainer:
         ema_decay: float = 0.9999,
         seed: int = 42,
         strategy: Optional[str] = None,  # ddp (default) | fsdp | tensor_parallel | fsdp_tp
-        tp_size: int = 1,
+        tp_size: int = 0,  # model-axis size for tensor_parallel; <=0 = auto
         accelerator: str = "auto",
         limit_test_batches: Optional[float] = None,
         profile_dir: Optional[str] = None,
@@ -80,16 +80,25 @@ class Trainer:
         # The reference's YAML says ``strategy: ddp`` (PTL DDP over NCCL,
         # examples/configs/ddpm/unet_small.yaml:88); here the strategy picks
         # the mesh topology + parameter layout and XLA SPMD emits the
-        # collectives (parallel/sharding.py).
+        # collectives (parallel/sharding.py). Unknown strings (PTL variants
+        # like ddp_spawn, ddp_sharded) keep the pre-round config-parity
+        # contract: warn and run mesh data-parallel — validated HERE so a
+        # typo surfaces at construction, not mid-fit.
         self.strategy = (strategy or "ddp").lower()
-        if self.strategy in ("none", "null", "auto", "dp"):
+        if self.strategy in ("none", "null", "auto", "dp") or self.strategy.startswith("ddp"):
+            self.strategy = "ddp"
+        if self.strategy not in ("ddp", "fsdp", "tensor_parallel", "tp", "fsdp_tp"):
+            logging.warning(
+                f"trainer.strategy={strategy!r} is not a recognized layout "
+                "(ddp | fsdp | tensor_parallel | fsdp_tp); using mesh data-parallel"
+            )
             self.strategy = "ddp"
         self.mesh = make_strategy_mesh(all_devices[:n], self.strategy, tp_size)
         self.global_step = 0
         self.exp_manager_hooks = None  # set by exp_manager()
         logging.info(
             f"Trainer using {n} device(s): strategy={self.strategy}, "
-            f"mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+            f"mesh {dict(self.mesh.shape)}"
         )
 
     # ------------------------------------------------------------------ fit ----
@@ -128,8 +137,11 @@ class Trainer:
         # zeros, so without it XLA constant-places them on one device and the
         # update jit later rejects the mixed device sets.
         p_shard = param_shardings_for_strategy(model.params, self.mesh, self.strategy)
-        params = jax.device_put(model.params, p_shard)
-        ema_params = jax.device_put(model.ema_params, p_shard)
+        # Copy before placing: device_put may alias (not copy) a leaf whose
+        # layout already matches, and the donated update would then delete
+        # model.params/model.ema_params themselves (CLAUDE.md invariant).
+        params = jax.device_put(jax.tree.map(jnp.copy, model.params), p_shard)
+        ema_params = jax.device_put(jax.tree.map(jnp.copy, model.ema_params), p_shard)
         opt_shard = param_shardings_for_strategy(
             jax.eval_shape(tx.init, params), self.mesh, self.strategy
         )
@@ -208,7 +220,11 @@ class Trainer:
                 # ddpm.py:65-75 — uses the freshest params.
                 save_every = int(model.save_and_sample_every or 0)
                 if save_every and step % save_every == 0:
-                    model.params, model.ema_params = params, ema_params
+                    # Hand the model COPIES: the live arrays are donated by
+                    # the next update, and the model must stay usable if fit
+                    # exits abnormally (e.g. the NaN halt below).
+                    model.params = jax.tree.map(jnp.copy, params)
+                    model.ema_params = jax.tree.map(jnp.copy, ema_params)
                     imgs = model._save_image_step(batch_size=64, step=step)
                     if imgs is not None and self.exp_manager_hooks:
                         self.exp_manager_hooks.log_images("samples", imgs, step)
@@ -376,15 +392,22 @@ class Trainer:
         # Rows are split over the ``data`` axis only (a tensor-parallel
         # ``model`` axis replicates the batch), and each process feeds the
         # rows its addressable devices own.
-        data_size = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["data"]
-        n_local = max(data_size // jax.process_count(), 1)
+        data_size = self.mesh.shape["data"]
+        if data_size % jax.process_count() != 0:
+            raise ValueError(
+                f"data-axis extent ({data_size}) must be divisible by the "
+                f"process count ({jax.process_count()}); adjust trainer.devices "
+                "or tp_size."
+            )
+        n_local = data_size // jax.process_count()
         dim = 1 if stacked else 0
         for k, v in batch.items():
             if np.shape(v)[dim] % n_local != 0:
                 raise ValueError(
                     f"{'Micro-batch' if stacked else 'Batch'} dim of `{k}` "
-                    f"({np.shape(v)[dim]}) must be divisible by the per-process "
-                    f"device count ({n_local}); adjust batch_size or trainer.devices."
+                    f"({np.shape(v)[dim]}) must be divisible by this process's "
+                    f"data-axis share ({n_local}); adjust batch_size, "
+                    "trainer.devices, or tp_size."
                 )
         return put_global_batch(self.mesh, batch, batch_dim=dim)
 

@@ -125,6 +125,22 @@ def test_strategy_mesh_shapes():
     assert m2.axis_names == ("data", "model") and m2.devices.shape == (2, 4)
     with pytest.raises(ValueError):
         make_strategy_mesh(strategy="tensor_parallel", tp_size=3)
+    # tp_size<=0 = auto (largest of 4/2/1 dividing n — never raises, even
+    # for odd device counts); an explicit 1 is honored as a degenerate axis.
+    m3 = make_strategy_mesh(jax.devices()[:5], strategy="tensor_parallel")
+    assert m3.devices.shape == (5, 1)
+    m4 = make_strategy_mesh(strategy="tensor_parallel", tp_size=1)
+    assert m4.devices.shape == (8, 1)
+
+
+def test_unknown_strategy_falls_back_to_ddp():
+    """PTL strings like ddp_spawn keep the config-parity contract: warn at
+    construction and run mesh data-parallel (no mid-fit crash)."""
+    from diffusion_model_nemo_tpu.training import Trainer
+
+    for s in ("ddp_spawn", "ddp_find_unused_parameters_false", "deepspeed"):
+        t = Trainer(devices=-1, max_steps=1, strategy=s)
+        assert t.strategy == "ddp" and t.mesh.axis_names == ("data",)
 
 
 def test_infer_param_shardings_splits_wide_leaves(tmp_path):
