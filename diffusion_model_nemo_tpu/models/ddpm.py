@@ -87,13 +87,18 @@ class DDPM(AbstractDiffusionModel):
         use_ema: bool = False,
         return_frames: bool = False,
         mesh=None,
+        shard_axis: str = "batch",
         **kwargs,
     ):
         """Cached-jit fused sampling scan; returns [B, H, W, C] in [0, 1].
 
-        With ``mesh`` the batch dimension is sharded over the mesh's ``data``
-        axis (params replicated) — sampling throughput scales across chips
-        with zero code change to the scan (XLA partitions the loop body).
+        With ``mesh`` the images are sharded over the mesh's ``data`` axis
+        (params replicated) — sampling scales across chips with zero code
+        change to the scan (XLA partitions the loop body). ``shard_axis``
+        picks the split: ``"batch"`` (default — throughput for many images)
+        or ``"spatial"`` (rows of H split across chips; XLA SPMD inserts the
+        conv halo exchanges) for the few-large-images regime where one
+        chip's HBM cannot hold the batch=1 activations.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
@@ -110,10 +115,12 @@ class DDPM(AbstractDiffusionModel):
                 return jax.jit(fn)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            frame_axes = P(None, "data", *([None] * len(shape[1:])))
-            out_shardings = NamedSharding(mesh, P("data", *([None] * (len(shape) - 1))))
+            dim = {"batch": 0, "spatial": 1}[shard_axis]
+            spec = [None] * len(shape)
+            spec[dim] = "data"
+            out_shardings = NamedSharding(mesh, P(*spec))
             if return_frames:
-                out_shardings = (out_shardings, NamedSharding(mesh, frame_axes))
+                out_shardings = (out_shardings, NamedSharding(mesh, P(None, *spec)))
             return jax.jit(
                 fn,
                 in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
@@ -122,7 +129,9 @@ class DDPM(AbstractDiffusionModel):
 
         params = self.ema_params if use_ema else self.params
         cache_mesh = None if mesh is None else tuple(mesh.shape.items())
-        return self._jitted("sample", build, shape, return_frames, cache_mesh)(params, key)
+        return self._jitted("sample", build, shape, return_frames, cache_mesh, shard_axis)(
+            params, key
+        )
 
     def interpolate(
         self,

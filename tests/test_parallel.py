@@ -205,3 +205,30 @@ def test_trainer_strategy_end_to_end(tmp_path, strategy, tp_size):
     trainer.fit(model)
     for leaf in jax.tree.leaves(model.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_spatial_sharded_sampling_matches_replicated(tmp_path):
+    """sample(mesh=..., shard_axis='spatial') splits image rows over the
+    mesh — XLA SPMD inserts the conv halo exchanges — and must reproduce
+    the unsharded images exactly (same keys, same params). This is the
+    few-large-images regime (batch too small to split, activations too big
+    for one chip)."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path, image_size=16)
+    cfg["diffusion_model"]["input_dim"] = 16
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    plain = model.sample(batch_size=2, image_size=16, key=key)
+    model._jit_cache.clear()
+    sharded = model.sample(
+        batch_size=2, image_size=16, key=key, mesh=mesh, shard_axis="spatial"
+    )
+
+    assert sharded.sharding.num_devices == 8
+    # rows of H are split over `data`
+    assert sharded.sharding.spec[1] == "data"
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
