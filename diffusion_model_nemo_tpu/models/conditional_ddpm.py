@@ -90,8 +90,13 @@ class ConditionalDDPM(DDPM):
         label: Optional[int] = None,
         use_ema: bool = False,
         return_frames: bool = False,
+        mesh=None,
+        shard_axis: str = "batch",
         **kwargs,
     ):
+        """Class-conditional sampling; ``mesh``/``shard_axis`` shard the
+        images over the ``data`` axis exactly like ``DDPM.sample`` (labels
+        follow the batch split, or replicate under spatial sharding)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
         labels = self._label_array(batch_size, label)
@@ -104,10 +109,32 @@ class ConditionalDDPM(DDPM):
                     model_fn, params, shape, key, return_frames=return_frames
                 )
 
-            return jax.jit(fn)
+            if mesh is None:
+                return jax.jit(fn)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dim = {"batch": 0, "spatial": 1}[shard_axis]
+            spec = [None] * len(shape)
+            spec[dim] = "data"
+            out_shardings = NamedSharding(mesh, P(*spec))
+            if return_frames:
+                out_shardings = (out_shardings, NamedSharding(mesh, P(None, *spec)))
+            label_sharding = NamedSharding(mesh, P("data") if dim == 0 else P())
+            return jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    label_sharding,
+                    NamedSharding(mesh, P()),
+                ),
+                out_shardings=out_shardings,
+            )
 
         params = self.ema_params if use_ema else self.params
-        return self._jitted("sample_cond", build, shape, return_frames)(params, labels, key)
+        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
+        return self._jitted("sample_cond", build, shape, return_frames, cache_mesh, shard_axis)(
+            params, labels, key
+        )
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, key=None, label=None, **kwargs):
         key = key if key is not None else jax.random.PRNGKey(0)

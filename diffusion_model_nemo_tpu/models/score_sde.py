@@ -108,22 +108,45 @@ class ScoreSDE(AbstractDiffusionModel):
         key=None,
         use_ema: bool = False,
         return_nfe: bool = False,
+        mesh=None,
+        shard_axis: str = "batch",
         **kwargs,
     ):
+        """PC / probability-flow sampling; with ``mesh`` the images are
+        sharded over the ``data`` axis (batch rows by default, image rows
+        with ``shard_axis="spatial"``) exactly like ``DDPM.sample`` — the
+        predictor/corrector (or RK45) scan body is partitioned by XLA."""
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
         model_fn = self.get_model_fn()
         sampler = self.sampler
 
         def build():
+            def fn(params, key):
+                return sampler.sample(model_fn, params, shape, key, return_nfe=return_nfe)
+
+            if mesh is None:
+                return jax.jit(fn)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dim = {"batch": 0, "spatial": 1}[shard_axis]
+            spec = [None] * len(shape)
+            spec[dim] = "data"
+            img_sharding = NamedSharding(mesh, P(*spec))
+            out_shardings = (
+                (img_sharding, NamedSharding(mesh, P())) if return_nfe else img_sharding
+            )
             return jax.jit(
-                lambda params, key: sampler.sample(
-                    model_fn, params, shape, key, return_nfe=return_nfe
-                )
+                fn,
+                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+                out_shardings=out_shardings,
             )
 
         params = self.ema_params if use_ema else self.params
-        return self._jitted("sample_sde", build, shape, return_nfe, sampler.version)(params, key)
+        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
+        return self._jitted(
+            "sample_sde", build, shape, return_nfe, sampler.version, cache_mesh, shard_axis
+        )(params, key)
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, **kwargs):
         raise NotImplementedError()

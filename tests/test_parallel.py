@@ -232,3 +232,77 @@ def test_spatial_sharded_sampling_matches_replicated(tmp_path):
     # rows of H are split over `data`
     assert sharded.sharding.spec[1] == "data"
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
+
+
+def test_sde_sharded_sampling_matches_replicated(tmp_path):
+    """ScoreSDE.sample(mesh=...) shards the PC-sampler scan over the data
+    axis and must reproduce the unsharded images (same keys, same params)."""
+    from diffusion_model_nemo_tpu.models import ScoreSDE
+    from tests.test_models_e2e import base_cfg, IMG
+
+    cfg = base_cfg(
+        tmp_path,
+        continuous=True,
+        likelihood_weighting=False,
+        sde={
+            "sde_type": "vpsde",
+            "vpsde": {
+                "_target_": "diffusion_model_nemo.modules.VPSDE",
+                "beta_min": 0.1,
+                "beta_max": 20.0,
+                "N": 10,
+            },
+        },
+        sampler={
+            "_target_": "diffusion_model_nemo.modules.PredictorCorrectorSampler",
+            "predictor": "euler_maruyama",
+            "corrector": None,
+            "snr": 0.16,
+        },
+        loss={
+            "_target_": "diffusion_model_nemo.loss.SDEScoreFunctionLoss",
+            "continuous": True,
+            "likelihood_weighting": False,
+        },
+    )
+    model = ScoreSDE(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    plain = model.sample(batch_size=16, image_size=IMG, key=key)
+    model._jit_cache.clear()
+    sharded = model.sample(batch_size=16, image_size=IMG, key=key, mesh=mesh)
+
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
+
+
+def test_conditional_sharded_sampling_matches_replicated(tmp_path):
+    """ConditionalDDPM.sample(mesh=..., label=...) shards images + labels
+    over the data axis and must reproduce the unsharded samples."""
+    from diffusion_model_nemo_tpu.models import ConditionalDDPM
+    from tests.test_models_e2e import base_cfg, IMG
+
+    cfg = base_cfg(
+        tmp_path,
+        num_classes=4,
+        sampler={
+            "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+            "timesteps": 5,
+            "schedule_name": "linear",
+            "class_conditional": True,
+        },
+    )
+    cfg["diffusion_model"]["num_classes"] = 4
+    model = ConditionalDDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    plain = model.sample(batch_size=16, image_size=IMG, key=key, label=2)
+    model._jit_cache.clear()
+    sharded = model.sample(batch_size=16, image_size=IMG, key=key, label=2, mesh=mesh)
+
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
