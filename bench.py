@@ -104,6 +104,56 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float) -> dict:
     }
 
 
+def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
+    """Sustained full-train-step throughput (loss+grads+AdamW+EMA, donated
+    buffers) on the flagship model — the Trainer's device envelope."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from functools import partial
+
+    import numpy as np
+
+    from diffusion_model_nemo_tpu.training.ema import ema_update
+    from diffusion_model_nemo_tpu.training.optim import build_optimizer
+
+    tx, _ = build_optimizer(model.cfg.get("optim"), max_steps=1000, grad_clip=1.0)
+    params = jax.tree.map(jnp.copy, model.params)
+    ema = jax.tree.map(jnp.copy, model.ema_params)
+    opt = tx.init(params)
+    batch = jax.device_put(
+        {
+            "image": np.random.randint(0, 255, (batch_size, IMG, IMG, 3), dtype=np.uint8),
+            "label": np.zeros((batch_size,), np.int32),
+        }
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def update(params, opt_state, ema_params, batch, key, step):
+        (loss, _), g = jax.value_and_grad(model.training_step, has_aux=True)(
+            params, batch, key, step
+        )
+        u, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, u)
+        ema_params = ema_update(ema_params, params, 0.9999, step)
+        return params, opt_state, ema_params, loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(3):  # compile + settle
+        params, opt, ema, loss = update(
+            params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
+        )
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt, ema, loss = update(
+            params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
+        )
+    loss.block_until_ready()
+    sec = (time.perf_counter() - t0) / steps
+    return {"sps": round(batch_size / sec, 1), "ms_per_step": round(sec * 1e3, 3)}
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -146,6 +196,7 @@ def main() -> None:
     # 8x better MXU efficiency than dim-32 (STATUS r1); skippable for quick
     # runs via DMN_BENCH_FULL=0.
     dim128 = None
+    train = None
     if os.environ.get("DMN_BENCH_FULL", "1") != "0":
         try:
             r128 = _bench_model(dim=128, batch=BATCH, runs=1, peak=peak)
@@ -156,6 +207,10 @@ def main() -> None:
             }
         except Exception as e:  # report the primary metric regardless
             dim128 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            train = _bench_training(r32["model"], BATCH)
+        except Exception as e:
+            train = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     result = {
         "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
@@ -170,6 +225,7 @@ def main() -> None:
         "device_kind": device_kind,
         "peak_bf16_flops": peak,
         "dim128": dim128,
+        "train": train,
         "batch": BATCH,
         "timesteps": T,
     }

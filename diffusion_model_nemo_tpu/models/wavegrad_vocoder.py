@@ -99,9 +99,12 @@ class WavegradVocoderModel(DDPM):
         mel: jnp.ndarray,
         key: Optional[jax.Array] = None,
         use_ema: bool = False,
+        mesh=None,
     ) -> jnp.ndarray:
         """[B, F, n_mels] log-mel → [B, F·hop] waveform via the (possibly
-        re-scheduled) ancestral chain."""
+        re-scheduled) ancestral chain. With ``mesh`` the utterance batch is
+        sharded over the ``data`` axis (params replicated), like the image
+        models' mesh sampling — batch synthesis scales across chips."""
         key = key if key is not None else jax.random.PRNGKey(0)
         B, F, _ = mel.shape
         shape = (B, F * self.hop, 1)
@@ -116,10 +119,20 @@ class WavegradVocoderModel(DDPM):
                     model_fn, params, shape, key, unnormalize=False
                 )
 
-            return jax.jit(fn)
+            if mesh is None:
+                return jax.jit(fn)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            return jax.jit(
+                fn,
+                in_shardings=(rep, NamedSharding(mesh, P("data", None, None)), rep),
+                out_shardings=NamedSharding(mesh, P("data", None, None)),
+            )
 
         params = self.ema_params if use_ema else self.params
-        return self._jitted("vocode", build, shape)(params, mel, key)[..., 0]
+        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
+        return self._jitted("vocode", build, shape, cache_mesh)(params, mel, key)[..., 0]
 
     def sample(self, batch_size: int, image_size: int = 0, key=None, mel=None, **kwargs):
         """Reference-compatible entry: draws a waveform; mel required."""

@@ -124,3 +124,24 @@ def test_vocoder_archive_roundtrip(tmp_path):
     a = jax.tree.leaves(model.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_vocoder_mesh_sharded_vocode_matches(tmp_path):
+    """vocode(mesh=...) shards the utterance batch over the data axis and
+    must reproduce the unsharded waveforms (same keys, same params)."""
+    from diffusion_model_nemo_tpu.parallel import make_mesh
+
+    cfg = vocoder_cfg(tmp_path)
+    model = WavegradVocoderModel(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+
+    wav = jnp.asarray(np.random.RandomState(1).randn(8, SEG).astype(np.float32) * 0.1)
+    mel = model.compute_mel(wav)
+    key = jax.random.PRNGKey(2)
+
+    plain = model.vocode(mel, key=key)
+    model._jit_cache.clear()
+    sharded = model.vocode(mel, key=key, mesh=make_mesh())
+
+    assert sharded.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
