@@ -101,6 +101,9 @@ class ConditionalDDPM(DDPM):
         shape = (batch_size, image_size, image_size, int(self.channels))
         labels = self._label_array(batch_size, label)
         sampler = self.sampler
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh_cache_key, sample_shardings
 
         def build():
             def fn(params, labels, key):
@@ -110,31 +113,20 @@ class ConditionalDDPM(DDPM):
                 )
 
             if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
                 return jax.jit(fn)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            dim = {"batch": 0, "spatial": 1}[shard_axis]
-            spec = [None] * len(shape)
-            spec[dim] = "data"
-            out_shardings = NamedSharding(mesh, P(*spec))
-            if return_frames:
-                out_shardings = (out_shardings, NamedSharding(mesh, P(None, *spec)))
-            label_sharding = NamedSharding(mesh, P("data") if dim == 0 else P())
+            rep, out, frames_out = sample_shardings(mesh, shape, shard_axis, frames=True)
+            out_shardings = (out, frames_out) if return_frames else out
+            label_sharding = NamedSharding(mesh, P("data") if shard_axis == "batch" else P())
             return jax.jit(
-                fn,
-                in_shardings=(
-                    NamedSharding(mesh, P()),
-                    label_sharding,
-                    NamedSharding(mesh, P()),
-                ),
-                out_shardings=out_shardings,
+                fn, in_shardings=(rep, label_sharding, rep), out_shardings=out_shardings
             )
 
         params = self.ema_params if use_ema else self.params
-        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
-        return self._jitted("sample_cond", build, shape, return_frames, cache_mesh, shard_axis)(
-            params, labels, key
-        )
+        return self._jitted(
+            "sample_cond", build, shape, return_frames, mesh_cache_key(mesh), shard_axis
+        )(params, labels, key)
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, key=None, label=None, **kwargs):
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -104,6 +104,7 @@ class DDPM(AbstractDiffusionModel):
         shape = (batch_size, image_size, image_size, int(self.channels))
         model_fn = self.get_model_fn()
         sampler = self.sampler
+        from ..parallel import mesh_cache_key, sample_shardings
 
         def build():
             def fn(params, key):
@@ -112,26 +113,17 @@ class DDPM(AbstractDiffusionModel):
                 )
 
             if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
                 return jax.jit(fn)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            dim = {"batch": 0, "spatial": 1}[shard_axis]
-            spec = [None] * len(shape)
-            spec[dim] = "data"
-            out_shardings = NamedSharding(mesh, P(*spec))
-            if return_frames:
-                out_shardings = (out_shardings, NamedSharding(mesh, P(None, *spec)))
-            return jax.jit(
-                fn,
-                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
-                out_shardings=out_shardings,
-            )
+            rep, out, frames_out = sample_shardings(mesh, shape, shard_axis, frames=True)
+            out_shardings = (out, frames_out) if return_frames else out
+            return jax.jit(fn, in_shardings=(rep, rep), out_shardings=out_shardings)
 
         params = self.ema_params if use_ema else self.params
-        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
-        return self._jitted("sample", build, shape, return_frames, cache_mesh, shard_axis)(
-            params, key
-        )
+        return self._jitted(
+            "sample", build, shape, return_frames, mesh_cache_key(mesh), shard_axis
+        )(params, key)
 
     def interpolate(
         self,

@@ -120,32 +120,29 @@ class ScoreSDE(AbstractDiffusionModel):
         shape = (batch_size, image_size, image_size, int(self.channels))
         model_fn = self.get_model_fn()
         sampler = self.sampler
+        from ..parallel import mesh_cache_key, sample_shardings
 
         def build():
             def fn(params, key):
                 return sampler.sample(model_fn, params, shape, key, return_nfe=return_nfe)
 
             if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
                 return jax.jit(fn)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            dim = {"batch": 0, "spatial": 1}[shard_axis]
-            spec = [None] * len(shape)
-            spec[dim] = "data"
-            img_sharding = NamedSharding(mesh, P(*spec))
-            out_shardings = (
-                (img_sharding, NamedSharding(mesh, P())) if return_nfe else img_sharding
-            )
-            return jax.jit(
-                fn,
-                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
-                out_shardings=out_shardings,
-            )
+            rep, out, _ = sample_shardings(mesh, shape, shard_axis)
+            out_shardings = (out, rep) if return_nfe else out
+            return jax.jit(fn, in_shardings=(rep, rep), out_shardings=out_shardings)
 
         params = self.ema_params if use_ema else self.params
-        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
         return self._jitted(
-            "sample_sde", build, shape, return_nfe, sampler.version, cache_mesh, shard_axis
+            "sample_sde",
+            build,
+            shape,
+            return_nfe,
+            sampler.version,
+            mesh_cache_key(mesh),
+            shard_axis,
         )(params, key)
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, **kwargs):

@@ -100,15 +100,21 @@ class WavegradVocoderModel(DDPM):
         key: Optional[jax.Array] = None,
         use_ema: bool = False,
         mesh=None,
+        shard_axis: str = "batch",
     ) -> jnp.ndarray:
         """[B, F, n_mels] log-mel → [B, F·hop] waveform via the (possibly
-        re-scheduled) ancestral chain. With ``mesh`` the utterance batch is
-        sharded over the ``data`` axis (params replicated), like the image
-        models' mesh sampling — batch synthesis scales across chips."""
+        re-scheduled) ancestral chain. With ``mesh`` the output is sharded
+        over the ``data`` axis like the image models' mesh sampling —
+        ``"batch"`` splits utterances, ``"spatial"`` splits the time axis
+        (XLA SPMD inserts the conv halo exchanges) for few-long-utterances
+        synthesis."""
         key = key if key is not None else jax.random.PRNGKey(0)
         B, F, _ = mel.shape
         shape = (B, F * self.hop, 1)
         sampler = self.sampler
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import mesh_cache_key, sample_shardings
 
         def build():
             def fn(params, mel, key):
@@ -120,19 +126,23 @@ class WavegradVocoderModel(DDPM):
                 )
 
             if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
                 return jax.jit(fn)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(mesh, P())
+            rep, out, _ = sample_shardings(mesh, shape, shard_axis)
+            # mel frames follow the waveform split: batch dim for "batch",
+            # the frame (time) dim for "spatial".
+            mel_spec = P("data", None, None) if shard_axis == "batch" else P(None, "data", None)
             return jax.jit(
                 fn,
-                in_shardings=(rep, NamedSharding(mesh, P("data", None, None)), rep),
-                out_shardings=NamedSharding(mesh, P("data", None, None)),
+                in_shardings=(rep, NamedSharding(mesh, mel_spec), rep),
+                out_shardings=out,
             )
 
         params = self.ema_params if use_ema else self.params
-        cache_mesh = None if mesh is None else tuple(mesh.shape.items())
-        return self._jitted("vocode", build, shape, cache_mesh)(params, mel, key)[..., 0]
+        return self._jitted("vocode", build, shape, mesh_cache_key(mesh), shard_axis)(
+            params, mel, key
+        )[..., 0]
 
     def sample(self, batch_size: int, image_size: int = 0, key=None, mel=None, **kwargs):
         """Reference-compatible entry: draws a waveform; mel required."""

@@ -84,3 +84,34 @@ def put_global_batch(mesh: Mesh, batch: Any, batch_dim: int = 0) -> Any:
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def sample_shardings(mesh, shape, shard_axis: str = "batch", frames: bool = False):
+    """(replicated, images, frames) NamedShardings for mesh-sharded sampling.
+
+    One place for the split semantics every model family shares:
+    ``shard_axis="batch"`` splits dim 0 (throughput for many outputs),
+    ``"spatial"`` splits dim 1 — image rows, or the time axis for waveforms —
+    with XLA SPMD inserting the conv halo exchanges. Frames stack the scan
+    axis in front, so the same spec shifts right by one.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dims = {"batch": 0, "spatial": 1}
+    if shard_axis not in dims:
+        raise ValueError(f"shard_axis must be one of {sorted(dims)}, got {shard_axis!r}")
+    spec = [None] * len(shape)
+    spec[dims[shard_axis]] = "data"
+    rep = NamedSharding(mesh, P())
+    out = NamedSharding(mesh, P(*spec))
+    frames_out = NamedSharding(mesh, P(None, *spec)) if frames else None
+    return rep, out, frames_out
+
+
+def mesh_cache_key(mesh) -> tuple:
+    """Hashable identity for jit caches: axis layout AND device identity —
+    two same-shaped meshes over different chips must not share a compiled
+    function whose baked shardings reference the first mesh's devices."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))

@@ -86,8 +86,14 @@ class ExpManagerHooks:
 
             self.wandb_run.log({tag: wandb.Image(grid)}, step=step)
 
+    def should_checkpoint(self, step: int) -> bool:
+        """The single source of the save cadence. The Trainer consults this
+        BEFORE materializing the monitored metric: fetching it costs a device
+        sync, which must not happen on non-checkpoint steps."""
+        return bool(self.ckpt_mgr) and step % self.ckpt_every == 0
+
     def maybe_checkpoint(self, step: int, state: Dict[str, Any], metrics=None) -> None:
-        if self.ckpt_mgr and step % self.ckpt_every == 0:
+        if self.should_checkpoint(step):
             self.ckpt_mgr.save(step, _host_state(state), metrics=metrics)
 
     def finalize(self, model, state: Dict[str, Any]) -> None:

@@ -246,7 +246,7 @@ class Trainer:
                 # remote-TPU rig) serializes the pipeline — measured 2240 →
                 # 8300 samples/sec sustained once removed.
                 hooks = self.exp_manager_hooks
-                if hooks and hooks.ckpt_mgr and step % hooks.ckpt_every == 0:
+                if hooks and hooks.should_checkpoint(step):
                     hooks.maybe_checkpoint(
                         step,
                         {

@@ -306,3 +306,67 @@ def test_conditional_sharded_sampling_matches_replicated(tmp_path):
 
     assert sharded.sharding.num_devices == 8
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
+
+
+def test_sde_probflow_sharded_sampling_matches_replicated(tmp_path):
+    """ScoreSDE probability-flow (in-graph RK45) sampling under mesh
+    out_shardings: the adaptive while_loop partitions over the data axis and
+    reproduces the unsharded images; the NFE scalar stays replicated."""
+    from diffusion_model_nemo_tpu.models import ScoreSDE
+    from tests.test_models_e2e import base_cfg, IMG
+
+    cfg = base_cfg(
+        tmp_path,
+        continuous=True,
+        likelihood_weighting=False,
+        sde={
+            "sde_type": "vpsde",
+            "vpsde": {
+                "_target_": "diffusion_model_nemo.modules.VPSDE",
+                "beta_min": 0.1,
+                "beta_max": 20.0,
+                "N": 10,
+            },
+        },
+        sampler={
+            "_target_": "diffusion_model_nemo.modules.ProbabilityFlowSampler",
+            "max_steps": 500,
+        },
+        loss={
+            "_target_": "diffusion_model_nemo.loss.SDEScoreFunctionLoss",
+            "continuous": True,
+            "likelihood_weighting": False,
+        },
+    )
+    model = ScoreSDE(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(5)
+
+    plain, nfe = model.sample(batch_size=16, image_size=IMG, key=key, return_nfe=True)
+    model._jit_cache.clear()
+    sharded, nfe2 = model.sample(
+        batch_size=16, image_size=IMG, key=key, return_nfe=True, mesh=mesh
+    )
+
+    assert sharded.sharding.num_devices == 8
+    assert int(nfe2) == int(nfe)
+    # adaptive step control amplifies sharded-reduction float noise in the
+    # error norm; outputs agree to ~6e-5 relative (untrained net, |x|~1e2)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(plain), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_sample_shard_axis_validation(tmp_path):
+    """Invalid shard_axis raises a clear error; spatial without mesh raises
+    instead of silently sampling unsharded."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shard_axis"):
+        model.sample(batch_size=8, image_size=8, shard_axis="spatial")
+    with pytest.raises(ValueError, match="shard_axis"):
+        model.sample(batch_size=8, image_size=8, mesh=make_mesh(), shard_axis="height")
