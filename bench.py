@@ -136,20 +136,23 @@ def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
         u, opt_state = tx.update(g, opt_state, params)
         params = optax.apply_updates(params, u)
         ema_params = ema_update(ema_params, params, 0.9999, step)
-        return params, opt_state, ema_params, loss
+        # grad_norm is a live output so this measures exactly the Trainer's
+        # production step (trainer.py:_build_update_fn emits it per step).
+        metrics = {"train_loss": loss, "grad_norm": optax.global_norm(g)}
+        return params, opt_state, ema_params, metrics
 
     key = jax.random.PRNGKey(1)
     for i in range(3):  # compile + settle
-        params, opt, ema, loss = update(
+        params, opt, ema, metrics = update(
             params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
         )
-    loss.block_until_ready()
+    metrics["train_loss"].block_until_ready()
     t0 = time.perf_counter()
     for i in range(steps):
-        params, opt, ema, loss = update(
+        params, opt, ema, metrics = update(
             params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
         )
-    loss.block_until_ready()
+    metrics["train_loss"].block_until_ready()
     sec = (time.perf_counter() - t0) / steps
     return {"sps": round(batch_size / sec, 1), "ms_per_step": round(sec * 1e3, 3)}
 
