@@ -29,6 +29,11 @@ __all__ = [
 ]
 
 _MAX_PALLAS_TOKENS = 4096
+# Below this many tokens the per-sample VMEM loop is grid/latency-bound
+# (measured on v5e: N=16 linattn 25.7 us via Pallas vs ~4 us SoL; N=64 runs
+# at SoL either way) — the XLA einsum composition batches tiny dots better
+# and its layout copies are negligible at these sizes.
+_MIN_PALLAS_TOKENS = 64
 
 
 def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -265,7 +270,11 @@ def _use_pallas_linattn(qkv, heads, dim_head) -> bool:
         return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
     B, N, _ = qkv.shape
     hd = heads * dim_head
-    return hd % 128 == 0 and N % 8 == 0 and N <= _MAX_PALLAS_TOKENS
+    return (
+        hd % 128 == 0
+        and N % 8 == 0
+        and _MIN_PALLAS_TOKENS <= N <= _MAX_PALLAS_TOKENS
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -453,17 +462,26 @@ def _pallas_linear_attention_block(
 
 def _use_pallas_linattn_block(x, heads, dim_head) -> bool:
     """Auto-on on TPU under the same conditions as the qkv kernel (natural
-    layouts in and out, h·d a multiple of the 128-lane tile). Opt-out:
-    DMN_TPU_PALLAS_LINATTN=0 (same switch as the qkv kernel)."""
+    layouts in and out, h·d a multiple of the 128-lane tile). The kernel
+    feeds the MXU in bfloat16, so dispatch only fires for bfloat16 inputs —
+    under a float32 compute config the XLA composition (which matmuls in
+    x.dtype) keeps full precision and matches the custom_vjp backward.
+    Opt-out: DMN_TPU_PALLAS_LINATTN=0 (same switch as the qkv kernel)."""
     import os
 
     if os.environ.get("DMN_TPU_PALLAS_LINATTN") == "0":
+        return False
+    if x.dtype != jnp.bfloat16:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
     B, N, C = x.shape
     hd = heads * dim_head
-    return hd % 128 == 0 and N % 8 == 0 and N <= _MAX_PALLAS_TOKENS
+    return (
+        hd % 128 == 0
+        and N % 8 == 0
+        and _MIN_PALLAS_TOKENS <= N <= _MAX_PALLAS_TOKENS
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))

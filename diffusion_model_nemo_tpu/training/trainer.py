@@ -85,7 +85,25 @@ class Trainer:
         # contract: warn and run mesh data-parallel — validated HERE so a
         # typo surfaces at construction, not mid-fit.
         self.strategy = (strategy or "ddp").lower()
-        if self.strategy in ("none", "null", "auto", "dp") or self.strategy.startswith("ddp"):
+        if self.strategy in ("ddp_sharded", "ddp_fully_sharded", "fsdp_native"):
+            # PTL's sharded DDP variants imply ZeRO-style memory sharding —
+            # the honest mapping here is the fsdp parameter layout, not
+            # replication.
+            logging.warning(
+                f"trainer.strategy={strategy!r} implies sharded parameter/optimizer "
+                "memory; mapping to the fsdp mesh layout"
+            )
+            self.strategy = "fsdp"
+        elif self.strategy in ("none", "null", "auto", "dp"):
+            self.strategy = "ddp"
+        elif self.strategy.startswith("ddp"):
+            if self.strategy != "ddp":
+                # ddp_spawn / ddp_notebook / ddp_find_unused_parameters_false …
+                # are process-launch variants; replication semantics match.
+                logging.warning(
+                    f"trainer.strategy={strategy!r} is a PTL process-launch variant; "
+                    "running mesh data-parallel (replicated params)"
+                )
             self.strategy = "ddp"
         if self.strategy not in ("ddp", "fsdp", "tensor_parallel", "tp", "fsdp_tp"):
             logging.warning(
