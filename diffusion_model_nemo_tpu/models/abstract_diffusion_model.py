@@ -301,7 +301,28 @@ class AbstractDiffusionModel:
             logging.info(f"Model weights warm-started from : {src}")
 
     @classmethod
+    def from_pretrained(cls, model_name: str, trainer=None, use_ema: bool = False, **_compat):
+        """Hub-name loading surface (reference examples/*/test_*.py:83 falls
+        back to NeMo's NGC hub when no local archive is given). This build has
+        no model hub — and the reference publishes no checkpoints either
+        (``list_available_models`` is None there, reference
+        abstract_diffusion_model.py:127-128) — so a local archive path is
+        delegated to :meth:`restore_from` and anything else fails loudly
+        instead of silently returning None."""
+        import os
+
+        if os.path.exists(str(model_name)):
+            return cls.restore_from(str(model_name), trainer=trainer, use_ema=use_ema)
+        raise NotImplementedError(
+            f"{cls.__name__}.from_pretrained({model_name!r}): no model hub in "
+            "this build and no models are published for the reference either; "
+            "use restore_from(path) with a local .dmn archive"
+        )
+
+    @classmethod
     def list_available_models(cls):
+        """No published models (same as reference
+        abstract_diffusion_model.py:127-128)."""
         return None
 
 

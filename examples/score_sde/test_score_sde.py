@@ -17,7 +17,12 @@ from diffusion_model_nemo_tpu.utils import logging
 
 @dataclass
 class TestConfig:
-    model_path: str = "ScoreSDE.dmn"
+    model_path: Optional[str] = "ScoreSDE.dmn"
+    # Hub-name fallback, same surface as reference test scripts
+    # (examples/*/test_*.py:80-83: restore_from if a local archive is
+    # given, else from_pretrained). No hub exists in this build: a local
+    # path still loads; a hub name raises NotImplementedError.
+    pretrained_model: Optional[str] = None
     dataset_name: Optional[str] = None
     dataset_split: str = "test"
     batch_size: int = 32
@@ -28,7 +33,10 @@ class TestConfig:
 @hydra_runner(config_path=None, config_name="TestConfig", schema=TestConfig)
 def main(cfg):
     cfg = TestConfig(**cfg)
-    model = ScoreSDE.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    if cfg.model_path:
+        model = ScoreSDE.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    else:
+        model = ScoreSDE.from_pretrained(cfg.pretrained_model, use_ema=cfg.use_ema)
     name = cfg.dataset_name or (model.cfg.get("train_ds") or {}).get("name")
     model.setup_test_data({"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size})
     trainer = Trainer(devices=-1, limit_test_batches=cfg.limit_test_batches)

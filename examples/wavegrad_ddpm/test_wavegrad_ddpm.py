@@ -17,7 +17,12 @@ from diffusion_model_nemo_tpu.utils import logging
 
 @dataclass
 class TestConfig:
-    model_path: str = "WavegradDDPM.dmn"
+    model_path: Optional[str] = "WavegradDDPM.dmn"
+    # Hub-name fallback, same surface as reference test scripts
+    # (examples/*/test_*.py:80-83: restore_from if a local archive is
+    # given, else from_pretrained). No hub exists in this build: a local
+    # path still loads; a hub name raises NotImplementedError.
+    pretrained_model: Optional[str] = None
     dataset_name: Optional[str] = None
     dataset_split: str = "test"
     batch_size: int = 32
@@ -30,7 +35,10 @@ class TestConfig:
 @hydra_runner(config_path=None, config_name="TestConfig", schema=TestConfig)
 def main(cfg):
     cfg = TestConfig(**cfg)
-    model = WavegradDDPM.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    if cfg.model_path:
+        model = WavegradDDPM.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    else:
+        model = WavegradDDPM.from_pretrained(cfg.pretrained_model, use_ema=cfg.use_ema)
     if cfg.search_timesteps > 0:
         # reference test_wavegrad_ddpm re-searches a short schedule first
         model.sampler.search_noise_schedule_coefficients(
