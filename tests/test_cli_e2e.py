@@ -16,6 +16,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess e2e drives dominate suite wall-clock
+
 REPO = Path(__file__).resolve().parents[1]
 
 

@@ -14,6 +14,8 @@ from diffusion_model_nemo_tpu.ops.audio import (
 )
 from diffusion_model_nemo_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # subprocess e2e drives dominate suite wall-clock
+
 HOP = 60  # tiny: 5*3*2*2 = 60
 SEG_FRAMES = 4
 SEG = HOP * SEG_FRAMES
