@@ -30,14 +30,70 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    dcn_mesh_shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """Build a mesh; default is all devices on a 1-D ``data`` axis."""
+    """Build a mesh; default is all devices on a 1-D ``data`` axis.
+
+    ``dcn_mesh_shape`` builds a multi-slice (DCN-connected) mesh: per-axis
+    slice counts, same length as ``shape``. Axes parallelized over DCN must
+    only carry slice-granular traffic (data-parallel gradient reduction), so
+    the construction keeps each slice's devices contiguous in the inner
+    (ICI) dims and stacks slices on the outer dims — the layout
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` produces. The
+    canonical 2-slice layout is ``shape=(per_slice_data, tp)``,
+    ``dcn_mesh_shape=(n_slices, 1)``: gradient psum decomposes into an
+    ICI-local reduce-scatter + one DCN all-reduce of slice partials, while
+    tensor-parallel collectives never leave a slice.
+    """
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
     if shape is None:
-        shape = (devices.size,) + (1,) * (len(axis_names) - 1)
-    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+        shape = (devices.size // int(np.prod(dcn_mesh_shape)) if dcn_mesh_shape else devices.size,) + (1,) * (len(axis_names) - 1)
+    if dcn_mesh_shape is None:
+        return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+
+    if len(dcn_mesh_shape) != len(shape):
+        raise ValueError(
+            f"dcn_mesh_shape {tuple(dcn_mesh_shape)} must match per-slice shape "
+            f"{tuple(shape)} in rank"
+        )
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            tuple(shape), tuple(dcn_mesh_shape), devices=list(devices.flat)
+        )
+    except (ValueError, AttributeError, KeyError):
+        # Devices without slice topology metadata (CPU meshes in tests,
+        # single-slice rigs): emulate the hybrid layout by grouping devices
+        # into equal contiguous "slices" ordered by (process_index, id) —
+        # the same outer-DCN/inner-ICI axis ordering, minus the physical
+        # coordinate optimization only real TPU metadata enables.
+        n_slices = int(np.prod(dcn_mesh_shape))
+        flat = sorted(devices.flat, key=lambda d: (d.process_index, d.id))
+        if len(flat) % n_slices:
+            raise ValueError(
+                f"{len(flat)} devices cannot split into {n_slices} equal slices"
+            )
+        per = len(flat) // n_slices
+        if per != int(np.prod(shape)):
+            raise ValueError(
+                f"per-slice shape {tuple(shape)} needs {int(np.prod(shape))} devices, "
+                f"have {per} per slice"
+            )
+        rank = len(shape)
+        granules = np.asarray(flat, dtype=object).reshape(
+            tuple(dcn_mesh_shape) + tuple(shape)
+        )
+        # Interleave each DCN axis in front of its per-slice axis so
+        # result[i] = dcn_mesh_shape[i] * shape[i] with slices varying
+        # slowest along that axis (create_hybrid_device_mesh's layout).
+        perm = [x for i in range(rank) for x in (i, rank + i)]
+        arr = granules.transpose(perm).reshape(
+            tuple(int(d) * int(s) for d, s in zip(dcn_mesh_shape, shape))
+        )
+    return Mesh(arr, axis_names=tuple(axis_names))
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data", batch_dim: int = 0) -> NamedSharding:

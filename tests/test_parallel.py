@@ -370,3 +370,66 @@ def test_sample_shard_axis_validation(tmp_path):
         model.sample(batch_size=8, image_size=8, shard_axis="spatial")
     with pytest.raises(ValueError, match="shard_axis"):
         model.sample(batch_size=8, image_size=8, mesh=make_mesh(), shard_axis="height")
+
+
+# ------------------------------------------------------------- DCN multi-slice
+def test_dcn_mesh_layout_slices_outer():
+    """2-slice hybrid mesh (VERDICT r2 item 2): slices vary slowest on the
+    data axis — each slice's 4 devices stay contiguous (ICI-inner), so the
+    gradient all-reduce decomposes into slice-local reduction + one DCN hop."""
+    mesh = make_mesh(axis_names=("data",), shape=(4,), dcn_mesh_shape=(2,))
+    assert dict(mesh.shape) == {"data": 8}
+    ids = [d.id for d in mesh.devices.flat]
+    assert sorted(ids[:4]) == ids[:4] and sorted(ids[4:]) == ids[4:]
+    assert set(ids) == {d.id for d in jax.devices()}
+
+
+def test_dcn_mesh_2d_data_outer_tp_inner():
+    """(data, model) per-slice shape (2, 2) × 2 slices on data: model axis
+    (tensor-parallel collectives) never crosses a slice boundary."""
+    mesh = make_mesh(
+        axis_names=("data", "model"), shape=(2, 2), dcn_mesh_shape=(2, 1)
+    )
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    dev = mesh.devices
+    # rows 0-1 = slice 0, rows 2-3 = slice 1 (slice = 4 contiguous ids here)
+    slice_of = {d.id: d.id // 4 for d in jax.devices()}
+    for r in range(4):
+        row_slices = {slice_of[d.id] for d in dev[r]}
+        assert len(row_slices) == 1, f"model axis spans slices in row {r}"
+    assert {slice_of[d.id] for d in dev[0]} == {slice_of[d.id] for d in dev[1]}
+    assert {slice_of[d.id] for d in dev[0]} != {slice_of[d.id] for d in dev[2]}
+
+
+def test_dcn_mesh_runs_dp_step(tmp_path):
+    """A jitted DP train step over the hybrid mesh matches single-device."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "image": np.random.RandomState(0).randint(0, 255, (8, 8, 8, 1), np.uint8),
+        "label": np.zeros((8,), np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(params, batch):
+        return model.training_step(params, batch, key, 0)[0]
+
+    g_single = jax.grad(loss_fn)(model.params, jax.device_put(batch))
+
+    mesh = make_mesh(axis_names=("data",), shape=(4,), dcn_mesh_shape=(2,))
+    sharded = shard_batch(mesh, batch)
+    rep = replicated_sharding(mesh)
+    params = jax.device_put(model.params, rep)
+    g_mesh = jax.jit(jax.grad(loss_fn), out_shardings=rep)(params, sharded)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_dcn_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("data",), shape=(3,), dcn_mesh_shape=(2,))
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("data", "model"), shape=(2, 2), dcn_mesh_shape=(2,))
