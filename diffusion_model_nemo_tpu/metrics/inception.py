@@ -351,6 +351,18 @@ def inception_feature_fn(
             "relative metric but NOT comparable to published Inception FID."
         )
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.float32))
+        # flax's default lecun_normal halves activation variance at every
+        # ReLU; through ~94 conv layers the pool3 features collapse to ~0 and
+        # the "relative metric" stops discriminating anything. He-scale the
+        # conv kernels (×√2, the ReLU-preserving gain) so random features
+        # retain input-dependent variance.
+        variables = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: leaf * np.sqrt(2.0)
+            if any(getattr(k, "key", None) == "conv" for k in path)
+            and leaf.ndim == 4
+            else leaf,
+            variables,
+        )
         random_weights = True
 
     apply = jax.jit(lambda v, x: model.apply(v, InceptionV3.preprocess(x)))

@@ -29,6 +29,7 @@ from diffusion_model_nemo_tpu.utils.image import to_uint8
 class FIDConfig:
     model_path: str = "DDPM.dmn"
     dataset_name: Optional[str] = None
+    dataset_path: Optional[str] = None  # for dataset_name=file (offline data)
     dataset_split: str = "test"
     num_samples: int = 1024
     batch_size: int = 64
@@ -57,9 +58,10 @@ def main(cfg):
         model.change_sampler(sampler_cfg)
 
     name = cfg.dataset_name or (model.cfg.get("train_ds") or {}).get("name")
-    dl = build_dataloader(
-        {"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size}, mode="test"
-    )
+    ds_cfg = {"name": name, "split": cfg.dataset_split, "batch_size": cfg.batch_size}
+    if cfg.dataset_path:
+        ds_cfg["path"] = cfg.dataset_path
+    dl = build_dataloader(ds_cfg, mode="test")
 
     if cfg.feature_extractor == "inception":
         from diffusion_model_nemo_tpu.metrics import inception_feature_fn
