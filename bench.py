@@ -195,11 +195,60 @@ def main() -> None:
         eager_sps = 1.386  # measured on this chip at B=128 (2026-08-16)
         baseline_fallback = True
 
+    # ---- fast-sampler legs: DDIM-50 + score-SDE PC (driver-visible so
+    # regressions in the strided/SDE paths show up in BENCH_r*.json) ----------
+    ddim50 = None
+    pc_sde = None
+    dim128 = None
+    train = None
+    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
+        try:
+            from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
+
+            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
+            dd = GeneralizedGaussianDiffusion(
+                timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
+            )
+            fused = jax.jit(lambda p, k: dd.p_sample_loop(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(2)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 10
+            out = None
+            for i in range(RUNS):
+                out = fused(params, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            ddim50 = {"sps": round(BATCH / sec, 1), "steps": 50, "eta": 0.0}
+        except Exception as e:
+            ddim50 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
+            from diffusion_model_nemo_tpu.modules.sde_samplers import (
+                PredictorCorrectorSampler,
+            )
+
+            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
+            sde = VPSDE(N=1000)
+            pcs = PredictorCorrectorSampler(
+                predictor="reverse_diffusion", corrector="langevin", snr=0.16, n_steps=1
+            )
+            pcs.update_sde(sde)
+            fused = jax.jit(lambda p, k: pcs.sample(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(3)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            out = fused(params, jax.random.fold_in(key, 1))
+            out.block_until_ready()
+            sec = time.perf_counter() - t0
+            pc_sde = {"sps": round(BATCH / sec, 2), "nfe": 1000 * 2,
+                      "predictor": "reverse_diffusion", "corrector": "langevin"}
+        except Exception as e:
+            pc_sde = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- realistic model size: dim-128 ---------------------------------------
     # 8x better MXU efficiency than dim-32 (STATUS r1); skippable for quick
     # runs via DMN_BENCH_FULL=0.
-    dim128 = None
-    train = None
     if os.environ.get("DMN_BENCH_FULL", "1") != "0":
         try:
             r128 = _bench_model(dim=128, batch=BATCH, runs=1, peak=peak)
@@ -227,6 +276,8 @@ def main() -> None:
         "flops_per_forward": r32["flops_per_forward"],
         "device_kind": device_kind,
         "peak_bf16_flops": peak,
+        "ddim50": ddim50,
+        "pc_sde": pc_sde,
         "dim128": dim128,
         "train": train,
         "batch": BATCH,

@@ -73,11 +73,18 @@ def main():
     shape = (batch, 32, 32, 3)
     fused = jax.jit(lambda p, k: sampler.p_sample_loop(model_fn, p, shape, k))
     key = jax.random.PRNGKey(1)
-    fused(params, key).block_until_ready()  # compile
+    compiled = fused.lower(params, key).compile()
+    compiled(params, key).block_until_ready()  # warm
+    import os
+
+    hlo_out = os.environ.get("DMN_PROFILE_HLO_OUT")
+    if hlo_out:  # optimized HLO: map profiled fusion names → source ops
+        Path(hlo_out).write_text(compiled.as_text())
+        print(f"optimized HLO → {hlo_out}")
 
     with tempfile.TemporaryDirectory() as d:
         jax.profiler.start_trace(d)
-        fused(params, jax.random.fold_in(key, 1)).block_until_ready()
+        compiled(params, jax.random.fold_in(key, 1)).block_until_ready()
         jax.profiler.stop_trace()
         total, by_cat, by_name = parse_trace(Path(d))
 
@@ -86,8 +93,8 @@ def main():
     print("\n-- by category (ms, ms/step) --")
     for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{k:20s} {v:10.1f} {v / T:8.4f}")
-    print("\n-- top 25 ops --")
-    for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
+    print("\n-- top 80 ops --")
+    for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:80]:
         print(f"{v:10.1f} ms  {k[:110]}")
 
 
