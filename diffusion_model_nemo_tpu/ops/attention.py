@@ -524,3 +524,128 @@ def _linattn_block_bwd(heads, dim_head, scale, eps, res, g):
 
 
 fused_linear_attention_block.defvjp(_linattn_block_fwd, _linattn_block_bwd)
+
+
+# ---------------------------- linear-attention block v2 (token-batched) ------
+def _linattn_block_kernel_v2(
+    x_ref, ng_ref, nb_ref, wqkv_ref, wout_ref, bout_ref, og_ref, ob_ref, o_ref,
+    *, heads: int, dim_head: int, scale: float, eps: float,
+):
+    """G samples per grid step; every token-wise GEMM (qkv, out projection)
+    runs batched over all G·N rows — the v1 kernel's per-sample [N,C] dots
+    serialized B tiny MXU launches per step, which is why it lost (see
+    SelfAttentionBlock). Only the per-sample softmax/gram stages loop over
+    G, on 2-D row slabs (Mosaic's layout inference rejects >2-D vectors
+    here). Seam dtypes mirror the composed path exactly: f32 norms and
+    softmaxes, bf16 (x.dtype) matmul operands with f32 accumulation."""
+    G, N, C = x_ref.shape
+    hd = heads * dim_head
+    M = G * N
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    mask = (ri == ci).astype(jnp.float32)
+
+    ng = ng_ref[0].astype(jnp.float32)
+    nb = nb_ref[0].astype(jnp.float32)
+    og = og_ref[0].astype(jnp.float32)
+    ob = ob_ref[0].astype(jnp.float32)
+    n_elems = N * C
+
+    xf = x_ref[...].reshape(M, C).astype(jnp.float32)
+    h_slabs = []
+    for g in range(G):
+        sl = xf[g * N : (g + 1) * N]
+        mean = jnp.sum(sl) / n_elems
+        mean2 = jnp.sum(sl * sl) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        h_slabs.append(((sl - mean) * jax.lax.rsqrt(var + eps)) * ng + nb)
+    h = jnp.concatenate(h_slabs, axis=0) if G > 1 else h_slabs[0]
+
+    qkv = jax.lax.dot_general(
+        h.astype(o_ref.dtype),
+        wqkv_ref[...].astype(o_ref.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, 3hd] f32
+
+    q = qkv[:, :hd]
+    qe = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+    q_den = jax.lax.dot_general(
+        qe, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    q_sm = (qe / q_den * scale).astype(o_ref.dtype)  # [M, hd]
+
+    attn_slabs = []
+    for g in range(G):
+        k = qkv[g * N : (g + 1) * N, hd : 2 * hd]
+        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+        k_sm = (ke / jnp.sum(ke, axis=0, keepdims=True)).astype(o_ref.dtype)
+        v = qkv[g * N : (g + 1) * N, 2 * hd :].astype(o_ref.dtype)
+        gram = jax.lax.dot_general(
+            k_sm, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        gram = (gram * mask).astype(o_ref.dtype)
+        attn_slabs.append(
+            jax.lax.dot_general(
+                q_sm[g * N : (g + 1) * N], gram, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+        )
+    attn = jnp.concatenate(attn_slabs, axis=0) if G > 1 else attn_slabs[0]
+
+    y = jax.lax.dot_general(
+        attn,
+        wout_ref[...].astype(o_ref.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bout_ref[0].astype(jnp.float32)  # [M, C] f32
+
+    for g in range(G):
+        sl = y[g * N : (g + 1) * N]
+        mean = jnp.sum(sl) / n_elems
+        mean2 = jnp.sum(sl * sl) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        out = ((sl - mean) * jax.lax.rsqrt(var + eps)) * og + ob
+        o_ref[g] = (out + xf[g * N : (g + 1) * N]).astype(o_ref.dtype)
+
+
+def _pallas_linear_attention_block_v2(
+    x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps,
+    block_g=None, interpret=False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    hd = heads * dim_head
+    if block_g is None:
+        # f32 qkv dominates the per-sample VMEM working set
+        per_sample = N * (3 * hd * 4 + hd * 3 * 2 + 2 * hd * 4 + C * 8)
+        block_g = max(min(B, (9 * 1024 * 1024) // max(per_sample, 1)), 1)
+        while B % block_g:
+            block_g -= 1
+
+    kernel = functools.partial(
+        _linattn_block_kernel_v2, heads=heads, dim_head=dim_head, scale=scale, eps=eps
+    )
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((block_g, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B // block_g,),
+        in_specs=[
+            blk,
+            row(C), row(C),
+            mat(C, 3 * hd), mat(hd, C), row(C),
+            row(C), row(C),
+        ],
+        out_specs=blk,
+        interpret=interpret,
+    )(
+        x,
+        ng.reshape(1, -1), nb.reshape(1, -1),
+        wqkv, wout, bout.reshape(1, -1),
+        og.reshape(1, -1), ob.reshape(1, -1),
+    )
