@@ -9,6 +9,8 @@ from diffusion_model_nemo_tpu.models import DDPM
 from diffusion_model_nemo_tpu.training import Trainer, exp_manager
 from tests.test_training_e2e import tiny_ddpm_cfg
 
+pytestmark = pytest.mark.slow  # multi-run Orbax + fsdp resume drives
+
 
 def exp_cfg(tmp_path, resume=False):
     return from_dict(

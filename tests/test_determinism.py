@@ -23,6 +23,7 @@ def run_training(tmp_path, seed):
     return model
 
 
+@pytest.mark.slow
 def test_training_bitwise_reproducible(tmp_path):
     m1 = run_training(tmp_path / "a", seed=123)
     m2 = run_training(tmp_path / "b", seed=123)
@@ -30,6 +31,7 @@ def test_training_bitwise_reproducible(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_training_seed_changes_result(tmp_path):
     m1 = run_training(tmp_path / "a", seed=123)
     m2 = run_training(tmp_path / "b", seed=456)

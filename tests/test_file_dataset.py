@@ -110,6 +110,7 @@ def test_parallel_loader_overlaps_slow_items(tmp_path):
     assert t_par < t_serial * 0.6, f"parallel {t_par:.3f}s vs serial {t_serial:.3f}s"
 
 
+@pytest.mark.slow
 def test_ddpm_trains_from_file_dataset(tmp_path):
     path, _ = _write_npz(tmp_path, n=32, hw=8, c=1)
     from tests.test_training_e2e import tiny_ddpm_cfg

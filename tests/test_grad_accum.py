@@ -79,6 +79,7 @@ def test_accum_consumes_k_microbatches_per_step():
     assert trainer.global_step == 3
 
 
+@pytest.mark.slow
 def test_accum_ddpm_integration(tmp_path):
     """The stacked-batch path must compile and run on the real DDPM train
     step over the 8-device mesh (micro-batch dim sharded, accum dim scanned)."""
@@ -105,6 +106,7 @@ def test_limit_test_batches_semantics():
     assert r(4.0, 10) == 4  # float > 1 treated as a count
 
 
+@pytest.mark.slow
 def test_precision_16_sets_bfloat16_compute(tmp_path):
     from tests.test_training_e2e import tiny_ddpm_cfg
 

@@ -14,6 +14,8 @@ from diffusion_model_nemo_tpu.models import (
 )
 from diffusion_model_nemo_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # full train->sample->test drives per family
+
 IMG = 8
 T = 5
 

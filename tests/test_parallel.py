@@ -160,6 +160,7 @@ def test_infer_param_shardings_splits_wide_leaves(tmp_path):
             assert p.shape[i] % 4 == 0 and p.shape[i] // 4 >= 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy,tp_size", [("fsdp", 1), ("tensor_parallel", 4), ("fsdp_tp", 4)])
 def test_strategy_grads_match_single_device(tmp_path, strategy, tp_size):
     """Sharded-parameter training grads == single-device grads: FSDP and TP
@@ -186,6 +187,7 @@ def test_strategy_grads_match_single_device(tmp_path, strategy, tp_size):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy,tp_size", [("fsdp", 1), ("tensor_parallel", 4)])
 def test_trainer_strategy_end_to_end(tmp_path, strategy, tp_size):
     """Trainer(strategy=...) runs a short fit with the sharded layout and
@@ -401,6 +403,7 @@ def test_dcn_mesh_2d_data_outer_tp_inner():
     assert {slice_of[d.id] for d in dev[0]} != {slice_of[d.id] for d in dev[2]}
 
 
+@pytest.mark.slow
 def test_dcn_mesh_runs_dp_step(tmp_path):
     """A jitted DP train step over the hybrid mesh matches single-device."""
     from tests.test_training_e2e import tiny_ddpm_cfg
