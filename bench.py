@@ -49,26 +49,43 @@ def _peak_flops(device) -> tuple:
 
 
 def _forward_flops(model_fn, params, shape) -> float:
-    """XLA-estimated FLOPs of one compiled network forward at ``shape``."""
+    """XLA-estimated FLOPs of one compiled network forward at ``shape``.
+
+    Counted with the Pallas attention dispatch forced OFF: custom calls
+    report zero flops to XLA's cost analysis, so counting the pure-XLA
+    composition keeps the MFU denominator honest (and comparable across
+    kernel variants — the math is identical).
+    """
     import jax
     import jax.numpy as jnp
 
     x = jnp.zeros(shape, jnp.float32)
     t = jnp.zeros((shape[0],), jnp.float32)
-    compiled = jax.jit(model_fn).lower(params, x, t).compile()
+    prev = os.environ.get("DMN_TPU_PALLAS_LINATTN")
+    os.environ["DMN_TPU_PALLAS_LINATTN"] = "0"
+    try:
+        compiled = jax.jit(model_fn).lower(params, x, t).compile()
+    finally:
+        if prev is None:
+            os.environ.pop("DMN_TPU_PALLAS_LINATTN", None)
+        else:
+            os.environ["DMN_TPU_PALLAS_LINATTN"] = prev
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0]
     return float(ca.get("flops", 0.0))
 
 
-def _bench_model(dim: int, batch: int, runs: int, peak: float) -> dict:
+def _bench_model(dim: int, batch: int, runs: int, peak: float, tpu_geometry: str = "off") -> dict:
     """Fused-scan sampling throughput + MFU for one model size."""
     import jax
 
     from __graft_entry__ import _flagship
 
-    model = _flagship(image_size=IMG, dim=dim, dim_mults=(1, 2, 2, 2), timesteps=T)
+    model = _flagship(
+        image_size=IMG, dim=dim, dim_mults=(1, 2, 2, 2), timesteps=T,
+        tpu_geometry=tpu_geometry,
+    )
     model.init_params(jax.random.PRNGKey(0))
     params = model.params
     net = model.diffusion_model
@@ -246,6 +263,25 @@ def main() -> None:
         except Exception as e:
             pc_sde = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- opt-in TPU-geometry fast path (tpu_geometry: s2d) -------------------
+    # Same public workload (CIFAR 32x32 in/out, 1000-step DDPM) on the
+    # space-to-depth variant: every U-Net level at half spatial resolution.
+    # A different architecture trained with the flag on (modules/unet.py) —
+    # reported separately; the parity model stays the headline.
+    s2d = None
+    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
+        try:
+            rs2d = _bench_model(dim=32, batch=BATCH, runs=3, peak=peak,
+                                tpu_geometry="s2d")
+            s2d = {
+                "sps": round(rs2d["sps"], 4),
+                "mfu_pct": round(rs2d["mfu_pct"], 2),
+                "params": rs2d["params"],
+                "tpu_geometry": "s2d",
+            }
+        except Exception as e:
+            s2d = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- realistic model size: dim-128 ---------------------------------------
     # 8x better MXU efficiency than dim-32 (STATUS r1); skippable for quick
     # runs via DMN_BENCH_FULL=0.
@@ -278,6 +314,7 @@ def main() -> None:
         "peak_bf16_flops": peak,
         "ddim50": ddim50,
         "pc_sde": pc_sde,
+        "tpu_s2d": s2d,
         "dim128": dim128,
         "train": train,
         "batch": BATCH,

@@ -105,11 +105,23 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         x: jnp.ndarray,
         t: jnp.ndarray,
         model_output: Optional[jnp.ndarray] = None,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ) -> PMeanVariance:
         """Reverse-step Gaussian with fixed posterior variance and clamped x̂₀
-        (reference gaussian_diffusion.py:125-154)."""
+        (reference gaussian_diffusion.py:125-154).
+
+        ``net_shape``: when the sampling scan carries ``x`` flattened to
+        [B, H·W·C] (see ``p_sample_loop``), this is the image shape the
+        network expects; the process math itself is elementwise and
+        shape-agnostic. A reshape is bitwise-free — it only exists so the
+        per-step elementwise math runs on a [B, D] tensor whose 128-lane
+        tiling is full, instead of the image layout whose minor dim is
+        C=3 (2.3% lane occupancy, measured ~57 µs/step on v5e)."""
         if model_output is None:
-            model_output = model_fn(params, x, batched_t(t, x))
+            x_net = x.reshape(net_shape) if net_shape is not None else x
+            model_output = model_fn(params, x_net, batched_t(t, x))
+        if model_output.shape != x.shape:
+            model_output = model_output.reshape(x.shape)
 
         if self.objective == "pred_noise":
             x_recon = self.predict_start_from_noise(x_t=x, t=t, noise=model_output)
@@ -127,10 +139,11 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         x: jnp.ndarray,
         t: jnp.ndarray,
         key: jax.Array,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ) -> jnp.ndarray:
         """One ancestral step; zero noise at t=0 (reference
         gaussian_diffusion.py:156-167). ``t`` may be [B] or a 0-d scalar."""
-        out = self.p_mean_variance(model_fn, params, x, t)
+        out = self.p_mean_variance(model_fn, params, x, t, net_shape=net_shape)
         t_arr = jnp.asarray(t)
         nonzero_mask = 1.0 - (t_arr == 0).astype(x.dtype)
         if t_arr.ndim > 0:
@@ -173,18 +186,27 @@ class GaussianDiffusion(AbstractDiffusionProcess):
 
         ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
 
+        # The scan carries x FLAT [B, H·W·C]: the image layout's minor dim is
+        # C (3 for RGB), which tiles onto 3 of the VPU's 128 lanes — every
+        # per-step elementwise op (posterior mean, noise add, threefry) ran
+        # ~40x under-lane. Flat, the same ops fill the lanes. Bitwise
+        # identical: elementwise math commutes with reshape, and
+        # random.normal(key, ·) draws the same bits for equal element counts.
         def step(carry, t):
             x, k = carry
             k, sub = jax.random.split(k)
             # scalar t: table lookups become dynamic-slices, not gathers
-            x = self.p_sample(model_fn, params, x, t, sub)
+            x = self.p_sample(model_fn, params, x, t, sub, net_shape=shape)
             y = (x + 1.0) * 0.5 if return_frames else None
             return (x, k), y
 
-        (img, _), frames = jax.lax.scan(step, (img, key), ts)
+        (flat, _), frames = jax.lax.scan(
+            step, (img.reshape(B, -1), key), ts
+        )
+        img = flat.reshape(shape)
         out = (img + 1.0) * 0.5 if unnormalize else img
         if return_frames:
-            return out, frames
+            return out, frames.reshape((T,) + tuple(shape))
         return out
 
     def sample(

@@ -67,9 +67,13 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         x: jnp.ndarray,
         t: jnp.ndarray,
         model_output: Optional[jnp.ndarray] = None,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ) -> PMeanVariance:
         if model_output is None:
-            model_output = model_fn(params, x, batched_t(t, x))
+            x_net = x.reshape(net_shape) if net_shape is not None else x
+            model_output = model_fn(params, x_net, batched_t(t, x))
+        if model_output.shape != x.shape:
+            model_output = model_output.reshape(x.shape)
         if self.objective == "pred_noise":
             x_recon = self.generalized_predict_start_from_noise(x_t=x, t=t, noise=model_output)
         else:
@@ -86,10 +90,14 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         t: jnp.ndarray,
         t_next: jnp.ndarray,
         key: jax.Array,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ):
         """One generalized step x_t → x_{t_next}
         (reference generalized_gaussian_diffusion.py:74-95)."""
-        model_output = model_fn(params, x, batched_t(t, x))
+        x_net = x.reshape(net_shape) if net_shape is not None else x
+        model_output = model_fn(params, x_net, batched_t(t, x))
+        if model_output.shape != x.shape:
+            model_output = model_output.reshape(x.shape)
         out = self.p_mean_variance(model_fn, params, x, t, model_output=model_output)
         x0_t = out.pred_x_start
 
@@ -134,19 +142,22 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         if img is None:
             img = jax.random.normal(init_key, shape, dtype=jnp.float32)
 
+        # Flat [B, H·W·C] carry for full-lane elementwise math — see
+        # GaussianDiffusion.p_sample_loop (bitwise identical).
         def step(carry, tt):
             x, k = carry
             t, t_next = tt
             k, sub = jax.random.split(k)
             # scalar (t, t_next): table lookups are dynamic-slices
-            x, _ = self.ddim_step(model_fn, params, x, t, t_next, sub)
+            x, _ = self.ddim_step(model_fn, params, x, t, t_next, sub, net_shape=shape)
             y = (x + 1.0) * 0.5 if return_frames else None
             return (x, k), y
 
-        (img, _), frames = jax.lax.scan(step, (img, key), (ts, ts_next))
+        (flat, _), frames = jax.lax.scan(step, (img.reshape(B, -1), key), (ts, ts_next))
+        img = flat.reshape(shape)
         out = (img + 1.0) * 0.5 if unnormalize else img
         if return_frames:
-            return out, frames
+            return out, frames.reshape((len(seq),) + tuple(shape))
         return out
 
     def interpolate(

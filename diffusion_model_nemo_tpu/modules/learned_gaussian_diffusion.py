@@ -11,7 +11,7 @@ dim=1.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -43,8 +43,13 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
 
     def model_log_variance(self, model_output: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray):
         """Interpolated log-variance from the v half of the model output
-        (reference learned_gaussian_diffusion.py:36-43)."""
+        (reference learned_gaussian_diffusion.py:36-43). The (ε̂, v) chunk is
+        a CHANNEL split, so it happens in the network's image shape; the
+        result is then reshaped to x's shape (which the flat-carry sampling
+        scan keeps as [B, H·W·C] — see GaussianDiffusion.p_mean_variance)."""
         _, var_interp_frac_unnormalized = jnp.split(model_output, 2, axis=-1)
+        if var_interp_frac_unnormalized.shape != x.shape:
+            var_interp_frac_unnormalized = var_interp_frac_unnormalized.reshape(x.shape)
         min_log = extract(self.constants.posterior_log_variance_clipped, t, x.ndim)
         max_log = extract(self.constants.log_betas, t, x.ndim)
         var_interp_frac = (var_interp_frac_unnormalized + 1.0) * 0.5
@@ -57,10 +62,14 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
         x: jnp.ndarray,
         t: jnp.ndarray,
         model_output: Optional[jnp.ndarray] = None,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ) -> PMeanVariance:
         if model_output is None:
-            model_output = model_fn(params, x, batched_t(t, x))
+            x_net = x.reshape(net_shape) if net_shape is not None else x
+            model_output = model_fn(params, x_net, batched_t(t, x))
         pred_noise, _ = jnp.split(model_output, 2, axis=-1)
+        if pred_noise.shape != x.shape:
+            pred_noise = pred_noise.reshape(x.shape)
 
         model_log_variance = self.model_log_variance(model_output, x, t)
         model_variance = jnp.exp(model_log_variance)

@@ -257,17 +257,22 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         scale = self.dim_head**-0.5
 
-        qkv = Conv1x1(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(
-            x.reshape(B, H * W, C)
+        from ..ops.attention import fused_linear_attention_tokens
+
+        # Fused projection+attention (Pallas on TPU): qkv is computed in
+        # VMEM per block of samples and never round-trips HBM — at the
+        # 32×32 level the materialized qkv tensor is 100 MB/step and its
+        # read back was the single most expensive op in the sampler profile
+        # (ops/attention.py; falls back to the qkv-consuming kernel or the
+        # XLA composition off-TPU). Same parameter tree as Conv1x1.
+        w_qkv, _ = _Conv1x1Params(C, hidden * 3, use_bias=False, name="to_qkv")()
+        out = fused_linear_attention_tokens(
+            x.reshape(B, H * W, C).astype(self.dtype),
+            w_qkv[0, 0],
+            self.heads,
+            self.dim_head,
+            scale,
         )
-
-        from ..ops.attention import fused_linear_attention_qkv
-
-        # Fused block (Pallas on TPU): the raw [B, H·W, 3·h·d] projection is
-        # consumed in its natural layout — softmaxes + both contractions in
-        # one VMEM pass, none of the layout copies XLA inserts for the
-        # per-head einsums (ops/attention.py).
-        out = fused_linear_attention_qkv(qkv, self.heads, self.dim_head, scale)
         out = out.astype(x.dtype)
 
         out = Conv1x1(C, dtype=self.dtype, name="to_out")(out).reshape(B, H, W, C)

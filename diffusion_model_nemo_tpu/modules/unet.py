@@ -38,13 +38,38 @@ from .parts import (
     Upsample,
 )
 
-__all__ = ["Unet", "WaveGradUNet"]
+__all__ = ["Unet", "WaveGradUNet", "space_to_depth", "depth_to_space"]
 
 
 def _resolve_dtype(dtype) -> jnp.dtype:
     if isinstance(dtype, str):
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[dtype]
     return dtype
+
+
+def space_to_depth(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/r, W/r, r·r·C]; inverse of ``depth_to_space``.
+
+    Channel order: for coarse pixel (i, j), the output channels are the r·r
+    sub-pixels in row-major order, each carrying its full C channels
+    contiguously — so a channel-wise split of a depth_to_space result (e.g.
+    the learned-variance (ε̂, v) chunk) sees ordinary [B, H, W, C] halves.
+    """
+    B, H, W, C = x.shape
+    if H % r or W % r:
+        raise ValueError(f"space_to_depth: H={H}, W={W} not divisible by r={r}")
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // r, W // r, r * r * C)
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[B, h, w, r·r·C] → [B, h·r, w·r, C]; inverse of ``space_to_depth``."""
+    B, h, w, rrC = x.shape
+    C = rrC // (r * r)
+    x = x.reshape(B, h, w, r, r, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h * r, w * r, C)
 
 
 @register_target("diffusion_model_nemo.modules.Unet")
@@ -71,6 +96,28 @@ class Unet(nn.Module):
     num_classes: Optional[int] = None
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    # TPU-geometry fast path (opt-in; default preserves reference numerics).
+    # "s2d": space-to-depth the input 2×2 before the stem and depth-to-space
+    # after the final conv — every U-Net level runs at half spatial
+    # resolution, quartering the level-0 HBM traffic that bounds the dim-32
+    # flagship (47.6 GFLOP forward at 18.6% MFU was memory-bound, STATUS r2).
+    # This is a DIFFERENT architecture (stem sees 4·C input channels, final
+    # conv emits 4·out_dim): weights are not transplantable from the parity
+    # model and it must be trained with the flag on. "pad" (zero-padding
+    # 32-channel convs to wider MXU lanes) was measured and rejected: see
+    # tools/microbench_conv.py — padding C 32→128 multiplies FLOPs 16× for
+    # at most 4× lane-utilization recovery, a net ≥2× slowdown.
+    tpu_geometry: str = "off"
+
+    def _geometry_factor(self) -> int:
+        g = (self.tpu_geometry or "off").lower()
+        if g in ("off", "none", ""):
+            return 1
+        if g in ("s2d", "space_to_depth"):
+            return 2
+        raise ValueError(
+            f"Unknown tpu_geometry {self.tpu_geometry!r}; expected 'off' or 's2d'"
+        )
 
     def _block(self, dim_out: int, dtype, name: str):
         if self.use_convnext:
@@ -107,6 +154,9 @@ class Unet(nn.Module):
         num_resolutions = len(in_out)
 
         x = x.astype(dtype)
+        r = self._geometry_factor()
+        if r > 1:
+            x = space_to_depth(x, r)
         x = nn.Conv(self.dim, (7, 7), padding=3, dtype=dtype, name="init_conv")(x)
 
         if self.num_classes is not None:
@@ -160,7 +210,9 @@ class Unet(nn.Module):
             x = FusedGroupNormSiLU(
                 groups=self.resnet_block_groups, epsilon=1e-5, dtype=dtype, name="final_norm"
             )(x)
-        out = nn.Conv(out_dim, (1, 1), dtype=dtype, name="final_conv")(x)
+        out = nn.Conv(out_dim * r * r, (1, 1), dtype=dtype, name="final_conv")(x)
+        if r > 1:
+            out = depth_to_space(out, r)
         return out.astype(jnp.float32)
 
 
@@ -186,6 +238,9 @@ class WaveGradUNet(Unet):
         num_resolutions = len(in_out)
 
         x = x.astype(dtype)
+        r = self._geometry_factor()
+        if r > 1:
+            x = space_to_depth(x, r)
         x = nn.Conv(self.dim, (7, 7), padding=3, dtype=dtype, name="init_conv")(x)
 
         statistics = []
@@ -246,5 +301,7 @@ class WaveGradUNet(Unet):
             x = FusedGroupNormSiLU(
                 groups=self.resnet_block_groups, epsilon=1e-5, dtype=dtype, name="final_norm"
             )(x)
-        out = nn.Conv(out_dim, (1, 1), dtype=dtype, name="final_conv")(x)
+        out = nn.Conv(out_dim * r * r, (1, 1), dtype=dtype, name="final_conv")(x)
+        if r > 1:
+            out = depth_to_space(out, r)
         return out.astype(jnp.float32)

@@ -15,7 +15,7 @@ wavegrad_diffusion.py:119-129); the beta-end random search stays host-side
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,23 +161,31 @@ class WaveGradDiffusion(GaussianDiffusion):
         t: jnp.ndarray,
         model_output: Optional[jnp.ndarray] = None,
         noise_level: Optional[jnp.ndarray] = None,
+        net_shape: Optional[Tuple[int, ...]] = None,
     ) -> PMeanVariance:
         """Conditions the network on noise level √ᾱ_{t+1} instead of t
-        (reference wavegrad_diffusion.py:160-189)."""
+        (reference wavegrad_diffusion.py:160-189). ``net_shape`` supports the
+        flat-carry sampling scan (see GaussianDiffusion.p_mean_variance): the
+        FiLM conditioning rank follows the NETWORK input rank, not the
+        (possibly flattened) carry rank."""
+        net_ndim = len(net_shape) if net_shape is not None else x.ndim
         if noise_level is None:
             t_arr = jnp.asarray(t)
             noise_level = extract(
-                self.constants.sqrt_alphas_cumprod_prev, t_arr + 1, x.ndim
+                self.constants.sqrt_alphas_cumprod_prev, t_arr + 1, net_ndim
             )
             if t_arr.ndim == 0:
                 # scalar-t fast path: broadcast the level over the batch for
                 # the FiLM network's [B, 1, ...] conditioning input (rank
                 # follows the data: images [B,1,1,1], waveforms [B,1,1])
                 noise_level = jnp.broadcast_to(
-                    noise_level, (x.shape[0],) + (1,) * (x.ndim - 1)
+                    noise_level, (x.shape[0],) + (1,) * (net_ndim - 1)
                 )
         if model_output is None:
-            model_output = model_fn(params, x, noise_level)
+            x_net = x.reshape(net_shape) if net_shape is not None else x
+            model_output = model_fn(params, x_net, noise_level)
+        if model_output.shape != x.shape:
+            model_output = model_output.reshape(x.shape)
 
         if self.objective == "pred_noise":
             x_recon = self.predict_start_from_noise(x_t=x, t=t, noise=model_output)

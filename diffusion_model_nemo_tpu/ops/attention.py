@@ -649,3 +649,150 @@ def _pallas_linear_attention_block_v2(
         wqkv, wout, bout.reshape(1, -1),
         og.reshape(1, -1), ob.reshape(1, -1),
     )
+
+
+# ------------------- qkv-projection-fused linear attention (kernel v3) -------
+def _linattn_qkv_fused_kernel(
+    h_ref, wqkv_ref, o_ref, *, heads: int, dim_head: int, scale: float,
+):
+    """[G, N, C] pre-normed tokens → [G, N, h·d] attention output, with the
+    qkv projection INSIDE the kernel. The composed path materializes the
+    [B, N, 3·h·d] qkv tensor to HBM (100 MB at the flagship level-0 shape —
+    its read alone is the single most expensive op in the sampler profile at
+    132 µs/step); here qkv lives only in VMEM. Token-wise GEMMs batch over
+    all G·N rows; per-sample softmax/gram stages loop over 2-D row slabs."""
+    G, N, C = h_ref.shape
+    hd = heads * dim_head
+    M = G * N
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    mask = (ri == ci).astype(jnp.float32)
+
+    h = h_ref[...].reshape(M, C)
+    qkv = jax.lax.dot_general(
+        h,
+        wqkv_ref[...].astype(h.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, 3hd] f32 — never leaves VMEM
+
+    q = qkv[:, :hd]
+    qe = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+    q_den = jax.lax.dot_general(
+        qe, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    q_sm = (qe / q_den * scale).astype(o_ref.dtype)
+
+    for g in range(G):
+        k = qkv[g * N : (g + 1) * N, hd : 2 * hd]
+        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+        k_sm = (ke / jnp.sum(ke, axis=0, keepdims=True)).astype(o_ref.dtype)
+        v = qkv[g * N : (g + 1) * N, 2 * hd :].astype(o_ref.dtype)
+        gram = jax.lax.dot_general(
+            k_sm, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        gram = (gram * mask).astype(o_ref.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            q_sm[g * N : (g + 1) * N], gram, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _pallas_linattn_qkv_fused(h, wqkv, heads, dim_head, scale, block_g=None, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = h.shape
+    hd = heads * dim_head
+    if block_g is None:
+        per_sample = N * (3 * hd * 4 + 3 * hd * 4 + hd * 2 + C * 2)
+        block_g = max(min(B, (8 * 1024 * 1024) // max(per_sample, 1)), 1)
+        while B % block_g:
+            block_g -= 1
+    kernel = functools.partial(
+        _linattn_qkv_fused_kernel, heads=heads, dim_head=dim_head, scale=scale
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, hd), h.dtype),
+        grid=(B // block_g,),
+        in_specs=[
+            pl.BlockSpec((block_g, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_g, N, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(h, wqkv)
+
+
+def _use_pallas_linattn_tokens(h, heads, dim_head) -> bool:
+    """v3 auto-on: same conditions as the qkv kernel (bf16 MXU feed, full
+    128-lane h·d, N large enough that per-sample stages aren't grid-bound)."""
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_LINATTN") == "0":
+        return False
+    if h.dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
+    B, N, C = h.shape
+    hd = heads * dim_head
+    return (
+        hd % 128 == 0
+        and N % 8 == 0
+        and _MIN_PALLAS_TOKENS <= N <= _MAX_PALLAS_TOKENS
+    )
+
+
+def _linattn_tokens_block_g(h, heads, dim_head) -> int:
+    B, N, C = h.shape
+    hd = heads * dim_head
+    per_sample = N * (3 * hd * 4 + 3 * hd * 4 + hd * 2 + C * 2)
+    g = max(min(B, (14 * 1024 * 1024) // max(per_sample, 1)), 1)
+    while B % g:
+        g -= 1
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_linear_attention_tokens(
+    h: jnp.ndarray, wqkv: jnp.ndarray, heads: int, dim_head: int, scale: float
+) -> jnp.ndarray:
+    """[B, N, C] pre-normed tokens + qkv weight [C, 3·h·d] → [B, N, h·d],
+    with the qkv projection fused into the attention kernel.
+
+    On TPU the composed path materializes the [B, N, 3·h·d] qkv tensor to
+    HBM — 100 MB at the flagship 32×32 level, whose read back is the single
+    most expensive op in the sampler profile (132 µs/step on v5e). The v3
+    kernel computes qkv in VMEM per block of samples (measured −8% on the
+    projection+attention pair at [128,1024,32]). Reverse mode recomputes
+    through the XLA composition (custom_vjp — do not jvp)."""
+    if _use_pallas_linattn_tokens(h, heads, dim_head):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_linattn_qkv_fused(
+            h, wqkv, heads, dim_head, scale,
+            block_g=_linattn_tokens_block_g(h, heads, dim_head),
+            interpret=interpret,
+        )
+    qkv = jnp.dot(h, wqkv.astype(h.dtype))
+    return fused_linear_attention_qkv(qkv, heads, dim_head, scale)
+
+
+def _linattn_tokens_fwd(h, wqkv, heads, dim_head, scale):
+    return fused_linear_attention_tokens(h, wqkv, heads, dim_head, scale), (h, wqkv)
+
+
+def _linattn_tokens_bwd(heads, dim_head, scale, res, g):
+    h, wqkv = res
+    _, vjp = jax.vjp(
+        lambda hh, ww: linear_attention_qkv_reference(
+            jnp.dot(hh, ww.astype(hh.dtype)), heads, dim_head, scale
+        ),
+        h,
+        wqkv,
+    )
+    return vjp(g)
+
+
+fused_linear_attention_tokens.defvjp(_linattn_tokens_fwd, _linattn_tokens_bwd)

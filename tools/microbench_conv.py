@@ -36,6 +36,13 @@ def main():
         (128, 32, 32, 32, 32),   # L0 block conv
         (128, 32, 32, 64, 32),   # up-path concat conv (64 -> 32)
         (128, 16, 16, 64, 64),   # L1 block conv
+        # tpu_geometry=pad candidates: the L0 conv zero-padded to wider MXU
+        # lanes. Compare wall time (not GF/ms) against the (...,32,32) row —
+        # padding only pays if the padded conv is FASTER in absolute time.
+        (128, 32, 32, 64, 64),   # L0 padded 32->64
+        (128, 32, 32, 128, 128), # L0 padded 32->128
+        # tpu_geometry=s2d equivalent L0 shape (half spatial, same channels)
+        (128, 16, 16, 32, 32),
     ]
     key = jax.random.PRNGKey(0)
     for (B, H, W, C, F) in shapes:
