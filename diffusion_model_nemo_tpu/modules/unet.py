@@ -103,10 +103,13 @@ class Unet(nn.Module):
     # flagship (47.6 GFLOP forward at 18.6% MFU was memory-bound, STATUS r2).
     # This is a DIFFERENT architecture (stem sees 4·C input channels, final
     # conv emits 4·out_dim): weights are not transplantable from the parity
-    # model and it must be trained with the flag on. "pad" (zero-padding
-    # 32-channel convs to wider MXU lanes) was measured and rejected: see
-    # tools/microbench_conv.py — padding C 32→128 multiplies FLOPs 16× for
-    # at most 4× lane-utilization recovery, a net ≥2× slowdown.
+    # model and it must be trained with the flag on. Measured (v5e, B=128,
+    # bf16): parity 100 sps → s2d 315.7 sps on the 1000-step DDPM chain.
+    # "pad" (zero-padding 32-channel convs to wider MXU lanes) was measured
+    # and rejected: tools/microbench_conv.py in-graph timing puts the L0
+    # conv at 82.8 µs, its 64-channel padding at 123.9 µs (1.5× slower) and
+    # its 128-channel padding at 278 µs (3.4× slower) — the extra FLOPs cost
+    # more than the recovered lane utilization pays back.
     tpu_geometry: str = "off"
 
     def _geometry_factor(self) -> int:
