@@ -5,3 +5,37 @@ from .conditional_ddpm import ConditionalDDPM
 from .score_sde import ScoreSDE
 from .wavegrad_ddpm import WavegradDDPM
 from .wavegrad_vocoder import WavegradVocoderModel
+
+_MODEL_CLASSES = {
+    cls.__name__: cls
+    for cls in (
+        DDPM,
+        ImprovedDDPM,
+        ConditionalDDPM,
+        ScoreSDE,
+        WavegradDDPM,
+        WavegradVocoderModel,
+    )
+}
+
+
+def restore_model_from_archive(path: str, use_ema: bool = False, trainer=None):
+    """Restore WITHOUT knowing the model family: reads the ``model_class``
+    name ``save_to`` records in the archive's extra metadata and dispatches
+    to that class's ``restore_from``. Archives written before the class name
+    was recorded restore as :class:`DDPM` (with a log note) — the class only
+    changes training/eval behavior, not the sampling surface the serving
+    daemon uses.
+    """
+    from ..training import load_archive
+    from ..utils import logging
+
+    _, _, _, extra = load_archive(path)
+    name = (extra or {}).get("model_class")
+    cls = _MODEL_CLASSES.get(name)
+    if cls is None:
+        logging.info(
+            f"Archive {path} records no known model_class ({name!r}); restoring as DDPM"
+        )
+        cls = DDPM
+    return cls.restore_from(path, trainer=trainer, use_ema=use_ema)

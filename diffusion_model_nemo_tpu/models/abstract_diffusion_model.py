@@ -277,8 +277,19 @@ class AbstractDiffusionModel:
 
     # ---- persistence -----------------------------------------------------------------------
     def save_to(self, path: str) -> str:
-        """Single-file export: config + weights + EMA (``.nemo`` equivalent)."""
-        return ckpt_lib.save_archive(path, self.cfg, self.params, self.ema_params)
+        """Single-file export: config + weights + EMA (``.nemo`` equivalent).
+
+        Records the model class name so generic consumers (the serving
+        daemon's ``restore_model_from_archive``) can restore without being
+        told the family.
+        """
+        return ckpt_lib.save_archive(
+            path,
+            self.cfg,
+            self.params,
+            self.ema_params,
+            extra={"model_class": type(self).__name__},
+        )
 
     @classmethod
     def restore_from(cls, path: str, trainer=None, use_ema: bool = False):

@@ -1,0 +1,380 @@
+"""Batched sampling daemon: production serving around the cached-jit samplers.
+
+Beyond the reference's CLI surface (its only serving story is the eval
+scripts' one-shot PNG dumps, examples/ddpm/eval_ddpm.py) — this module turns
+a trained archive into a long-lived service the way a TPU wants to be fed:
+
+- **One compile, fixed shapes.** The sampling scan is jitted once at a fixed
+  ``max_batch``; every device call runs exactly that shape (partial batches
+  are padded and the excess images discarded). No dynamic shapes, no
+  recompiles, no cold-start on the request path after warmup.
+- **Dynamic request batching.** Concurrent requests coalesce into one device
+  batch (linger window + size cap), so throughput tracks the chip's
+  samples/sec/chip envelope rather than per-request latency × request count.
+- **Single device owner.** One worker thread owns the TPU; HTTP threads only
+  queue and wait. This keeps the dispatch pipeline serialized (the round-2
+  lesson: a device sync per request from many threads destroys pipelining).
+
+Endpoints (stdlib http.server; zero extra dependencies):
+  GET  /healthz          → {"status": "ok", ...} after warmup
+  GET  /stats            → request/batch/latency counters
+  POST /sample           → JSON {"num_images": N, "seed": S?, "label": L?,
+                           "format": "png"|"npy"} →
+                           {"images": [b64-PNG, ...]} or raw .npy bytes
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..utils import logging
+
+__all__ = ["BatchingSampler", "SamplingServer", "serve"]
+
+
+@dataclass
+class _Request:
+    num_images: int
+    seed: Optional[int]
+    label: Optional[int]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[str] = None
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class BatchingSampler:
+    """Coalesces sample requests into fixed-shape device batches.
+
+    ``submit(n)`` blocks until the worker thread has produced ``n`` images.
+    Requests with the same (seed-group, label) coalesce; an explicitly
+    seeded request runs in its own batch so its output is a pure function of
+    (archive, seed, n) — the determinism story a reproducible-serving setup
+    needs — while unseeded traffic shares batches and draws from the
+    server's request counter.
+    """
+
+    def __init__(
+        self,
+        model,
+        image_size: int,
+        max_batch: int = 64,
+        linger_ms: float = 5.0,
+        use_ema: bool = True,
+        base_seed: int = 0,
+    ):
+        import jax
+
+        self.model = model
+        self.image_size = int(image_size)
+        self.max_batch = int(max_batch)
+        self.linger_s = float(linger_ms) / 1e3
+        self.use_ema = bool(use_ema)
+        self._base_key = jax.random.PRNGKey(base_seed)
+        self._batch_counter = 0
+        self._queue: List[_Request] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._warm = False
+        self.stats: Dict[str, Any] = {
+            "requests": 0,
+            "images": 0,
+            "batches": 0,
+            "batch_fill_sum": 0.0,
+            "latency_ms_sum": 0.0,
+            "device_ms_sum": 0.0,
+        }
+        self._worker = threading.Thread(target=self._run, daemon=True)
+
+    # ---- lifecycle -----------------------------------------------------------
+    def start(self, warmup: bool = True) -> "BatchingSampler":
+        if warmup:
+            self._device_sample(self.max_batch, self._next_key(), None)
+            self._warm = True
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=10.0)
+
+    @property
+    def warm(self) -> bool:
+        return self._warm
+
+    # ---- client surface ------------------------------------------------------
+    def submit(
+        self,
+        num_images: int,
+        seed: Optional[int] = None,
+        label: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        if num_images < 1:
+            raise ValueError("num_images must be >= 1")
+        if num_images > self.max_batch:
+            # Large requests are served in max_batch chunks — fixed shapes.
+            parts = []
+            remaining = num_images
+            chunk_idx = 0
+            while remaining > 0:
+                n = min(remaining, self.max_batch)
+                chunk_seed = None if seed is None else seed + chunk_idx
+                parts.append(self.submit(n, chunk_seed, label, timeout))
+                remaining -= n
+                chunk_idx += 1
+            return np.concatenate(parts, axis=0)
+        req = _Request(num_images=num_images, seed=seed, label=label)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify_all()
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError(f"sample request not served within {timeout}s")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # ---- worker --------------------------------------------------------------
+    def _next_key(self):
+        import jax
+
+        self._batch_counter += 1
+        return jax.random.fold_in(self._base_key, self._batch_counter)
+
+    def _device_sample(self, batch: int, key, label: Optional[int]) -> np.ndarray:
+        kwargs = {}
+        if label is not None:
+            kwargs["label"] = int(label)
+        out = self.model.sample(
+            batch_size=batch,
+            image_size=self.image_size,
+            key=key,
+            use_ema=self.use_ema,
+            **kwargs,
+        )
+        return np.asarray(out)
+
+    def _take_group(self) -> List[_Request]:
+        """Pop a coalescable group: same label; seeded requests go alone."""
+        head = self._queue[0]
+        if head.seed is not None:
+            return [self._queue.pop(0)]
+        group: List[_Request] = []
+        total = 0
+        i = 0
+        while i < len(self._queue):
+            r = self._queue[i]
+            if r.seed is None and r.label == head.label and total + r.num_images <= self.max_batch:
+                group.append(self._queue.pop(i))
+                total += r.num_images
+            else:
+                i += 1
+            if total >= self.max_batch:
+                break
+        return group
+
+    def _run(self) -> None:
+        import jax
+
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for r in self._queue:
+                        r.error = "server shutting down"
+                        r.done.set()
+                    return
+                # Linger briefly so concurrent requests can coalesce.
+                deadline = self._queue[0].enqueued_at + self.linger_s
+                while time.perf_counter() < deadline:
+                    remaining = deadline - time.perf_counter()
+                    if remaining > 0:
+                        self._cv.wait(timeout=remaining)
+                group = self._take_group()
+            try:
+                total = sum(r.num_images for r in group)
+                key = (
+                    jax.random.PRNGKey(group[0].seed)
+                    if group[0].seed is not None
+                    else self._next_key()
+                )
+                t0 = time.perf_counter()
+                # Fixed-shape call: always max_batch; surplus images dropped.
+                images = self._device_sample(self.max_batch, key, group[0].label)
+                device_ms = (time.perf_counter() - t0) * 1e3
+                off = 0
+                now = time.perf_counter()
+                for r in group:
+                    r.result = images[off : off + r.num_images]
+                    off += r.num_images
+                    self.stats["latency_ms_sum"] += (now - r.enqueued_at) * 1e3
+                    r.done.set()
+                self.stats["requests"] += len(group)
+                self.stats["images"] += total
+                self.stats["batches"] += 1
+                self.stats["batch_fill_sum"] += total / self.max_batch
+                self.stats["device_ms_sum"] += device_ms
+            except Exception as e:  # surface, don't kill the worker
+                for r in group:
+                    r.error = f"{type(e).__name__}: {e}"
+                    r.done.set()
+
+    def snapshot_stats(self) -> Dict[str, Any]:
+        s = dict(self.stats)
+        b = max(s["batches"], 1)
+        r = max(s["requests"], 1)
+        return {
+            "requests": s["requests"],
+            "images": s["images"],
+            "batches": s["batches"],
+            "avg_batch_fill": round(s["batch_fill_sum"] / b, 4),
+            "avg_request_latency_ms": round(s["latency_ms_sum"] / r, 3),
+            "avg_device_ms_per_batch": round(s["device_ms_sum"] / b, 3),
+            "max_batch": self.max_batch,
+        }
+
+
+def _png_b64(image: np.ndarray) -> str:
+    from PIL import Image
+
+    from ..utils.image import to_uint8
+
+    arr = to_uint8(image[None])[0]
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class SamplingServer:
+    """HTTP front-end over :class:`BatchingSampler` (stdlib only)."""
+
+    def __init__(self, batcher: BatchingSampler, host: str = "127.0.0.1", port: int = 8000):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.batcher = batcher
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route to our logger
+                logging.info("serving: " + fmt % args)
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"status": "ok", "warm": server.batcher.warm})
+                elif self.path == "/stats":
+                    self._json(200, server.batcher.snapshot_stats())
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/sample":
+                    self._json(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    n = int(payload.get("num_images", 1))
+                    seed = payload.get("seed")
+                    label = payload.get("label")
+                    fmt = payload.get("format", "png")
+                    timeout = float(payload.get("timeout", 600.0))
+                    images = server.batcher.submit(
+                        n, seed=seed, label=label, timeout=timeout
+                    )
+                    if fmt == "npy":
+                        buf = io.BytesIO()
+                        np.save(buf, images)
+                        body = buf.getvalue()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/octet-stream")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    elif fmt == "png":
+                        self._json(200, {"images": [_png_b64(im) for im in images]})
+                    else:
+                        self._json(400, {"error": f"unknown format {fmt!r}"})
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+
+    def serve_forever(self) -> None:
+        logging.info(f"Sampling server listening on http://{self.host}:{self.port}")
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.batcher.stop()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.batcher.stop()
+
+
+def serve(
+    model_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_batch: int = 64,
+    linger_ms: float = 5.0,
+    use_ema: bool = True,
+    use_ddim_sampler: bool = False,
+    ddim_timesteps: int = 50,
+    ddim_eta: float = 0.0,
+    image_size: Optional[int] = None,
+    base_seed: int = 0,
+) -> SamplingServer:
+    """Load an archive, optionally hot-swap to DDIM, warm up, and serve.
+
+    The DDIM swap mirrors the eval scripts' ``maybe_use_ddim_sampler``
+    (reference examples/ddpm/eval_ddpm.py:48-60) — production serving almost
+    always wants the 50-step sampler (measured 1911 sps vs 100 sps for the
+    1000-step chain on v5e at dim-32).
+    """
+    from ..models import restore_model_from_archive
+
+    model = restore_model_from_archive(model_path, use_ema=False)
+    if use_ddim_sampler:
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion"
+        sampler_cfg["eta"] = ddim_eta
+        sampler_cfg["ddim_timesteps"] = ddim_timesteps
+        model.change_sampler(sampler_cfg)
+    size = int(image_size or model.cfg.get("image_size"))
+    batcher = BatchingSampler(
+        model,
+        image_size=size,
+        max_batch=max_batch,
+        linger_ms=linger_ms,
+        use_ema=use_ema,
+        base_seed=base_seed,
+    ).start()
+    return SamplingServer(batcher, host=host, port=port)

@@ -1,0 +1,162 @@
+"""Batched sampling daemon (diffusion_model_nemo_tpu/serving/server.py).
+
+Tiny model on CPU: request coalescing, fixed-shape device batching, seeded
+determinism, archive auto-restore, and the HTTP surface end-to-end.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from diffusion_model_nemo_tpu.config import from_dict
+from diffusion_model_nemo_tpu.models import DDPM, restore_model_from_archive
+from diffusion_model_nemo_tpu.serving import BatchingSampler, SamplingServer
+
+IMG = 8
+T = 5
+
+
+def tiny_model():
+    import jax
+
+    cfg = from_dict(
+        {
+            "image_size": IMG,
+            "timesteps": T,
+            "channels": 1,
+            "save_every": 0,
+            "diffusion_model": {
+                "_target_": "diffusion_model_nemo.modules.Unet",
+                "input_dim": IMG,
+                "dim": 8,
+                "channels": 1,
+                "dim_mults": [1, 2],
+                "use_convnext": False,
+                "resnet_block_groups": 4,
+            },
+            "sampler": {
+                "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+                "timesteps": T,
+                "schedule_name": "linear",
+            },
+            "loss": {"_target_": "diffusion_model_nemo.loss.DiffusionLoss", "loss_type": "l2"},
+            "optim": {"name": "adamw", "lr": 1e-3},
+        }
+    )
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    b = BatchingSampler(
+        tiny_model(), image_size=IMG, max_batch=8, linger_ms=100.0, use_ema=False
+    ).start()
+    yield b
+    b.stop()
+
+
+def test_submit_returns_requested_count(batcher):
+    out = batcher.submit(3, timeout=60)
+    assert out.shape == (3, IMG, IMG, 1)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_concurrent_requests_coalesce(batcher):
+    before = dict(batcher.stats)
+    results = {}
+
+    def ask(name):
+        results[name] = batcher.submit(2, timeout=60)
+
+    threads = [threading.Thread(target=ask, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(results[i].shape == (2, IMG, IMG, 1) for i in range(3))
+    # 3 unseeded same-label requests inside one linger window -> one device batch
+    assert batcher.stats["batches"] - before["batches"] == 1
+    assert batcher.stats["requests"] - before["requests"] == 3
+
+
+def test_seeded_requests_are_deterministic(batcher):
+    a = batcher.submit(2, seed=7, timeout=60)
+    b = batcher.submit(2, seed=7, timeout=60)
+    assert np.array_equal(a, b)
+    c = batcher.submit(2, seed=8, timeout=60)
+    assert not np.array_equal(a, c)
+
+
+def test_large_request_chunks_at_fixed_shape(batcher):
+    out = batcher.submit(11, seed=3, timeout=120)  # max_batch=8 -> 2 chunks
+    assert out.shape == (11, IMG, IMG, 1)
+    # chunking is itself deterministic
+    again = batcher.submit(11, seed=3, timeout=120)
+    assert np.array_equal(out, again)
+
+
+def test_stats_snapshot(batcher):
+    s = batcher.snapshot_stats()
+    assert s["images"] >= 3
+    assert s["max_batch"] == 8
+    assert s["avg_batch_fill"] > 0
+
+
+def test_archive_roundtrip_records_model_class(tmp_path):
+    model = tiny_model()
+    path = str(tmp_path / "tiny.dmn")
+    model.save_to(path)
+    restored = restore_model_from_archive(path)
+    assert type(restored).__name__ == "DDPM"
+    import jax
+
+    a = jax.tree.leaves(model.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_http_surface(batcher):
+    server = SamplingServer(batcher, host="127.0.0.1", port=0)  # ephemeral port
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        req = urllib.request.Request(
+            f"{base}/sample",
+            data=json.dumps({"num_images": 2, "seed": 1, "format": "png"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.loads(r.read())
+        assert len(payload["images"]) == 2
+        import base64
+
+        png = base64.b64decode(payload["images"][0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        req = urllib.request.Request(
+            f"{base}/sample",
+            data=json.dumps({"num_images": 2, "seed": 1, "format": "npy"}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            import io
+
+            arr = np.load(io.BytesIO(r.read()))
+        assert arr.shape == (2, IMG, IMG, 1)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["images"] >= 2
+    finally:
+        server._httpd.shutdown()
+        server._httpd.server_close()
