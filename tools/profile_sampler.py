@@ -63,7 +63,11 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    model = _flagship(image_size=32, dim=dim, dim_mults=(1, 2, 2, 2), timesteps=T)
+    import os
+
+    geom = os.environ.get("DMN_PROFILE_GEOMETRY", "off")
+    model = _flagship(image_size=32, dim=dim, dim_mults=(1, 2, 2, 2), timesteps=T,
+                      tpu_geometry=geom)
     model.init_params(jax.random.PRNGKey(0))
     params, net, sampler = model.params, model.diffusion_model, model.sampler
 
@@ -75,7 +79,6 @@ def main():
     key = jax.random.PRNGKey(1)
     compiled = fused.lower(params, key).compile()
     compiled(params, key).block_until_ready()  # warm
-    import os
 
     hlo_out = os.environ.get("DMN_PROFILE_HLO_OUT")
     if hlo_out:  # optimized HLO: map profiled fusion names → source ops
