@@ -116,11 +116,20 @@ class Unet(nn.Module):
         g = (self.tpu_geometry or "off").lower()
         if g in ("off", "none", ""):
             return 1
-        if g in ("s2d", "space_to_depth"):
+        if g in ("s2d", "space_to_depth", "s2d_hybrid"):
             return 2
         raise ValueError(
-            f"Unknown tpu_geometry {self.tpu_geometry!r}; expected 'off' or 's2d'"
+            f"Unknown tpu_geometry {self.tpu_geometry!r}; "
+            "expected 'off', 's2d' or 's2d_hybrid'"
         )
+
+    def _geometry_hybrid(self) -> bool:
+        # "s2d_hybrid": depth-to-space BEFORE the final block instead of
+        # after the final conv — the U-Net body runs at half resolution but
+        # the final refinement block sees full-resolution pixels (its input
+        # channels become dim/(r·r)). Restores pixel-level capacity the pure
+        # s2d variant gives up, for a fraction of the throughput win.
+        return (self.tpu_geometry or "").lower() == "s2d_hybrid"
 
     def _block(self, dim_out: int, dtype, name: str):
         if self.use_convnext:
@@ -208,13 +217,17 @@ class Unet(nn.Module):
         default_out_dim = self.channels * (1 if not self.learned_variance else 2)
         out_dim = self.out_dim if self.out_dim is not None else default_out_dim
 
+        hybrid = self._geometry_hybrid()
+        if r > 1 and hybrid:
+            x = depth_to_space(x, r)  # full-res refinement in the final block
         x = self._block(self.dim, dtype, name="final_block")(x, None, deterministic=deterministic)
         if self.resnet_block_order == "bn_act_conv":
             x = FusedGroupNormSiLU(
                 groups=self.resnet_block_groups, epsilon=1e-5, dtype=dtype, name="final_norm"
             )(x)
-        out = nn.Conv(out_dim * r * r, (1, 1), dtype=dtype, name="final_conv")(x)
-        if r > 1:
+        final_mult = 1 if (r == 1 or hybrid) else r * r
+        out = nn.Conv(out_dim * final_mult, (1, 1), dtype=dtype, name="final_conv")(x)
+        if r > 1 and not hybrid:
             out = depth_to_space(out, r)
         return out.astype(jnp.float32)
 

@@ -36,6 +36,7 @@ class ServeConfig:
     linger_ms: float = 5.0       # coalescing window for concurrent requests
     use_ema: bool = True
     base_seed: int = 0
+    transfer: str = "uint8"   # device-quantized responses; "float32" for raw
 
     # Sampler (production serving usually wants the fast sampler)
     use_ddim_sampler: bool = True
@@ -62,6 +63,7 @@ def main(cfg):
         ddim_eta=cfg.ddim_eta,
         image_size=cfg.image_size,
         base_seed=cfg.base_seed,
+        transfer=cfg.transfer,
     )
     server.serve_forever()
 

@@ -63,8 +63,33 @@ def batcher():
 def test_submit_returns_requested_count(batcher):
     out = batcher.submit(3, timeout=60)
     assert out.shape == (3, IMG, IMG, 1)
-    assert np.all(np.isfinite(out))
-    assert out.min() >= 0.0 and out.max() <= 1.0
+    # default transfer is device-quantized uint8 (4x smaller host copies)
+    assert out.dtype == np.uint8
+
+
+def test_float32_transfer_matches_uint8_quantization():
+    from diffusion_model_nemo_tpu.utils.image import to_uint8
+
+    b = BatchingSampler(
+        tiny_model(), image_size=IMG, max_batch=4, linger_ms=1.0,
+        use_ema=False, transfer="float32",
+    ).start()
+    try:
+        f = b.submit(2, seed=5, timeout=60)
+        assert f.dtype == np.float32
+        assert f.min() >= 0.0 and f.max() <= 1.0
+    finally:
+        b.stop()
+    b2 = BatchingSampler(
+        tiny_model(), image_size=IMG, max_batch=4, linger_ms=1.0,
+        use_ema=False, transfer="uint8",
+    ).start()
+    try:
+        u = b2.submit(2, seed=5, timeout=60)
+        assert u.dtype == np.uint8
+        assert np.array_equal(u, to_uint8(f))
+    finally:
+        b2.stop()
 
 
 def test_concurrent_requests_coalesce(batcher):

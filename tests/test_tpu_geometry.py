@@ -88,6 +88,51 @@ def test_unet_geometry_off_is_default_and_unchanged():
     assert np.array_equal(np.asarray(oa), np.asarray(ob))
 
 
+def test_unet_s2d_hybrid_shapes():
+    # Hybrid: body at half resolution, final block at full resolution.
+    net = Unet(dim=16, dim_mults=(1, 2), channels=3, use_convnext=False,
+               resnet_block_groups=4, tpu_geometry="s2d_hybrid")
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    t = jnp.zeros((2,), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x, t)["params"]
+    out = net.apply({"params": params}, x, t)
+    assert out.shape == (2, 16, 16, 3)
+    # stem still sees 4x channels; final conv is back to plain out_dim
+    assert params["init_conv"]["kernel"].shape == (7, 7, 12, 16)
+    assert params["final_conv"]["kernel"].shape[-1] == 3
+    # final block consumes the depth-to-spaced dim/(r*r) = 4 channels
+    block1 = params["final_block"]["block1"]
+    conv_kernels = [v["kernel"] for k, v in block1.items() if "kernel" in v]
+    assert any(k.shape[-2] == 4 for k in conv_kernels)
+
+
+def test_flagship_s2d_hybrid_train_and_sample():
+    from __graft_entry__ import _flagship
+
+    model = _flagship(image_size=16, dim=16, dim_mults=(1, 2), timesteps=8,
+                      dtype="float32", tpu_geometry="s2d_hybrid")
+    model.init_params(jax.random.PRNGKey(0))
+    params = model.params
+    batch = {
+        "image": np.random.randint(0, 255, (4, 16, 16, 3), dtype=np.uint8),
+        "label": np.zeros((4,), np.int32),
+    }
+    (loss, _), _ = jax.value_and_grad(model.training_step, has_aux=True)(
+        params, batch, jax.random.PRNGKey(1), 0
+    )
+    assert np.isfinite(float(loss))
+    net = model.diffusion_model
+
+    def model_fn(p, x, t):
+        return net.apply({"params": p}, x, t)
+
+    out = model.sampler.p_sample_loop(
+        model_fn, params, (2, 16, 16, 3), jax.random.PRNGKey(2)
+    )
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_unet_geometry_invalid_raises():
     net = Unet(dim=16, dim_mults=(1, 2), tpu_geometry="nope")
     x = jnp.zeros((1, 8, 8, 3), jnp.float32)
