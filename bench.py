@@ -178,6 +178,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA compile cache: steady-state numbers are unaffected but a
+    # full run pays ~30 min of (remote-tunnel) compiles without it. Opt out
+    # with DMN_BENCH_NO_CACHE=1.
+    if os.environ.get("DMN_BENCH_NO_CACHE", "0") != "1":
+        from diffusion_model_nemo_tpu.utils.compile_cache import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache(
+            os.environ.get("DMN_COMPILE_CACHE_DIR") or "/tmp/dmn_xla_cache"
+        )
+
     BATCH = 128  # throughput saturates ~B>=128 on v5e for this net
     peak, device_kind = _peak_flops(jax.devices()[0])
 
@@ -279,6 +291,10 @@ def main() -> None:
                 "params": rs2d["params"],
                 "tpu_geometry": "s2d",
             }
+            try:  # s2d training envelope (same full update as `train` below)
+                s2d["train"] = _bench_training(rs2d["model"], BATCH)
+            except Exception as e:
+                s2d["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         except Exception as e:
             s2d = {"error": f"{type(e).__name__}: {e}"[:200]}
 

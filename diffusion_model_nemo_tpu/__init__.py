@@ -11,6 +11,8 @@ __version__ = "0.1.0"
 
 from . import config, ops, utils
 
+utils.maybe_enable_from_env()  # DMN_COMPILE_CACHE_DIR opt-in
+
 
 def __getattr__(name):
     # Lazy subpackage access to keep bare import light.

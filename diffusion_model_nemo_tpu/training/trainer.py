@@ -57,8 +57,13 @@ class Trainer:
         profile_start_step: int = 10,
         profile_num_steps: int = 5,
         terminate_on_nan: bool = True,
+        compile_cache_dir: Optional[str] = None,
         **_unused,
     ):
+        if compile_cache_dir:
+            from ..utils.compile_cache import enable_persistent_compilation_cache
+
+            enable_persistent_compilation_cache(compile_cache_dir)
         self.terminate_on_nan = bool(terminate_on_nan)
         self.profile_dir = profile_dir
         self.profile_start_step = int(profile_start_step)

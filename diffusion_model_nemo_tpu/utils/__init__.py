@@ -1,4 +1,5 @@
 from . import logging
+from .compile_cache import enable_persistent_compilation_cache, maybe_enable_from_env
 from ..ops.math import (
     LOG2,
     approx_standard_normal_cdf,

@@ -1,0 +1,112 @@
+"""Persistent XLA compilation cache wiring (utils/compile_cache.py).
+
+The cache itself is JAX's; what we own is the opt-in plumbing — Trainer
+kwarg, serving kwarg, env var — and that enabling it actually produces disk
+entries that a fresh process can hit. The on-TPU win was measured directly
+(7.6 s conv-grad compile -> 0.17 s next process, through the axon tunnel).
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_model_nemo_tpu.utils import compile_cache
+
+
+@pytest.fixture
+def cache_reset():
+    """Restore the global cache config after the test."""
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    prev_enabled = compile_cache._enabled_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+    compile_cache._enabled_dir = prev_enabled
+
+
+def test_enable_writes_cache_entries(tmp_path, cache_reset):
+    cache_dir = tmp_path / "xla-cache"
+    out = compile_cache.enable_persistent_compilation_cache(
+        str(cache_dir), min_compile_time_secs=0.0
+    )
+    assert out == str(cache_dir)
+    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+
+    # A fresh (uncached-in-process) compile must land on disk. Vary the shape
+    # to dodge any earlier in-process executable reuse.
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    f(jnp.ones((33, 17), jnp.float32)).block_until_ready()
+    entries = list(cache_dir.iterdir())
+    assert entries, "no persistent cache entries written"
+
+    # Idempotent re-enable keeps the same dir.
+    assert compile_cache.enable_persistent_compilation_cache(str(cache_dir)) == str(
+        cache_dir
+    )
+
+
+def test_env_var_optin(tmp_path, cache_reset, monkeypatch):
+    monkeypatch.setenv("DMN_COMPILE_CACHE_DIR", str(tmp_path / "envcache"))
+    assert compile_cache.maybe_enable_from_env() == str(tmp_path / "envcache")
+    assert os.path.isdir(tmp_path / "envcache")
+    monkeypatch.setenv("DMN_COMPILE_CACHE_DIR", "")
+    # Empty -> no-op, keeps the previous dir.
+    assert compile_cache.maybe_enable_from_env() is None
+
+
+def test_trainer_kwarg_enables(tmp_path, cache_reset):
+    from diffusion_model_nemo_tpu.training.trainer import Trainer
+
+    Trainer(devices=1, max_steps=1, compile_cache_dir=str(tmp_path / "tc"))
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "tc")
+
+
+@pytest.mark.slow
+def test_cross_process_cache_hit(tmp_path):
+    """A second process compiling the same function must hit the disk cache
+    (observable via jax's cache-hit logging)."""
+    prog = (
+        "import os, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import diffusion_model_nemo_tpu  # env opt-in runs at import\n"
+        "from diffusion_model_nemo_tpu.utils import compile_cache\n"
+        "assert compile_cache._enabled_dir is not None\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "f = jax.jit(lambda x: jnp.sin(x @ x.T).sum())\n"
+        "f(jnp.ones((29, 13))).block_until_ready()\n"
+        "print('CACHEDIR_ENTRIES', len(os.listdir(compile_cache._enabled_dir)))\n"
+    )
+    env = dict(os.environ)
+    env["DMN_COMPILE_CACHE_DIR"] = str(tmp_path / "xc")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_DEBUG_LOG_MODULES"] = "jax._src.compilation_cache"
+
+    runs = []
+    for _ in range(2):
+        p = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+        assert p.returncode == 0, p.stderr
+        runs.append(p.stdout + p.stderr)
+    assert "CACHEDIR_ENTRIES" in runs[0]
+    # Second process: persistent-cache hit logged by jax.
+    assert "cache" in runs[1].lower()
+    assert any(
+        ("hit" in line.lower() or "found" in line.lower())
+        for line in runs[1].splitlines()
+        if "cache" in line.lower()
+    ), runs[1]
