@@ -71,12 +71,24 @@ class BatchingSampler:
         use_ema: bool = True,
         base_seed: int = 0,
         transfer: str = "uint8",
+        mesh=None,
     ):
         import jax
 
         self.model = model
         self.image_size = int(image_size)
         self.max_batch = int(max_batch)
+        # Multi-chip serving: shard each device batch over the mesh's data
+        # axis (params replicated) — the same cached-jit scan, partitioned by
+        # XLA SPMD. The compiled shape is global, so it must divide evenly.
+        self.mesh = mesh
+        if mesh is not None:
+            data_size = int(mesh.shape.get("data", 1))
+            if self.max_batch % max(data_size, 1):
+                raise ValueError(
+                    f"max_batch={self.max_batch} must be divisible by the mesh "
+                    f"data axis ({data_size}) for fixed-shape sharded serving"
+                )
         self.linger_s = float(linger_ms) / 1e3
         self.use_ema = bool(use_ema)
         if transfer not in ("uint8", "float32"):
@@ -178,6 +190,8 @@ class BatchingSampler:
         kwargs = {}
         if label is not None:
             kwargs["label"] = int(label)
+        if self.mesh is not None:
+            kwargs["mesh"] = self.mesh
         out = self.model.sample(
             batch_size=batch,
             image_size=self.image_size,
@@ -382,21 +396,28 @@ class SamplingServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
+        self._serving = False
 
     def serve_forever(self) -> None:
         logging.info(f"Sampling server listening on http://{self.host}:{self.port}")
+        self._serving = True
         try:
             self._httpd.serve_forever()
         finally:
             self.batcher.stop()
 
     def start_background(self) -> threading.Thread:
+        self._serving = True
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return t
 
     def shutdown(self) -> None:
-        self._httpd.shutdown()
+        # http.server's shutdown() handshakes with a running serve_forever
+        # loop and deadlocks if one was never started — only signal it then.
+        if self._serving:
+            self._httpd.shutdown()
+            self._serving = False
         self._httpd.server_close()
         self.batcher.stop()
 
@@ -414,14 +435,21 @@ def serve(
     image_size: Optional[int] = None,
     base_seed: int = 0,
     transfer: str = "uint8",
+    compile_cache_dir: Optional[str] = None,
+    devices: int = 1,
 ) -> SamplingServer:
     """Load an archive, optionally hot-swap to DDIM, warm up, and serve.
 
     The DDIM swap mirrors the eval scripts' ``maybe_use_ddim_sampler``
     (reference examples/ddpm/eval_ddpm.py:48-60) — production serving almost
     always wants the 50-step sampler (measured 1911 sps vs 100 sps for the
-    1000-step chain on v5e at dim-32).
+    1000-step chain on v5e at dim-32). ``compile_cache_dir`` turns the warmup
+    compile into a disk hit on daemon restart (utils/compile_cache.py).
     """
+    if compile_cache_dir:
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache(compile_cache_dir)
     from ..models import restore_model_from_archive
 
     model = restore_model_from_archive(model_path, use_ema=False)
@@ -432,6 +460,16 @@ def serve(
         sampler_cfg["ddim_timesteps"] = ddim_timesteps
         model.change_sampler(sampler_cfg)
     size = int(image_size or model.cfg.get("image_size"))
+    mesh = None
+    if int(devices) not in (0, 1):
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        all_devices = jax.devices()
+        n = len(all_devices) if int(devices) == -1 else min(int(devices), len(all_devices))
+        if n > 1:
+            mesh = make_mesh(all_devices[:n])
     batcher = BatchingSampler(
         model,
         image_size=size,
@@ -440,5 +478,6 @@ def serve(
         use_ema=use_ema,
         base_seed=base_seed,
         transfer=transfer,
+        mesh=mesh,
     ).start()
     return SamplingServer(batcher, host=host, port=port)

@@ -32,6 +32,7 @@ class ServeConfig:
     port: int = 8000
 
     # Device batching
+    devices: int = 1             # chips to serve on (-1 = all); >1 shards batches over a data mesh
     max_batch: int = 64          # compiled batch size (fixed shape, one compile)
     linger_ms: float = 5.0       # coalescing window for concurrent requests
     use_ema: bool = True
@@ -44,6 +45,9 @@ class ServeConfig:
     ddim_eta: float = 0.0
 
     image_size: Optional[int] = None  # default: the archive's image_size
+
+    # Persistent XLA compile cache: daemon restarts skip the warmup compile.
+    compile_cache_dir: Optional[str] = None
 
 
 @hydra_runner(config_path=None, config_name="ServeConfig", schema=ServeConfig)
@@ -64,6 +68,8 @@ def main(cfg):
         image_size=cfg.image_size,
         base_seed=cfg.base_seed,
         transfer=cfg.transfer,
+        compile_cache_dir=cfg.compile_cache_dir,
+        devices=cfg.devices,
     )
     server.serve_forever()
 

@@ -185,3 +185,62 @@ def test_http_surface(batcher):
     finally:
         server._httpd.shutdown()
         server._httpd.server_close()
+
+
+def test_mesh_sharded_serving_matches_single_device():
+    """BatchingSampler(mesh=...) shards each fixed-shape batch over the data
+    axis; a seeded request must return the same images as single-device
+    serving (the tests/test_parallel.py sharded-sampling guarantee, carried
+    through the serving stack)."""
+    from diffusion_model_nemo_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices
+    b_mesh = BatchingSampler(
+        tiny_model(), image_size=IMG, max_batch=8, linger_ms=1.0,
+        use_ema=False, transfer="float32", mesh=mesh,
+    ).start()
+    try:
+        sharded = b_mesh.submit(5, seed=11, timeout=120)
+        assert sharded.shape == (5, IMG, IMG, 1)
+    finally:
+        b_mesh.stop()
+
+    b_plain = BatchingSampler(
+        tiny_model(), image_size=IMG, max_batch=8, linger_ms=1.0,
+        use_ema=False, transfer="float32",
+    ).start()
+    try:
+        plain = b_plain.submit(5, seed=11, timeout=120)
+    finally:
+        b_plain.stop()
+    np.testing.assert_allclose(sharded, plain, atol=2e-5)
+
+
+def test_mesh_batch_divisibility_validated():
+    from diffusion_model_nemo_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divisible"):
+        BatchingSampler(
+            tiny_model(), image_size=IMG, max_batch=6, use_ema=False,
+            mesh=make_mesh(),
+        )
+
+
+def test_serve_devices_builds_mesh(tmp_path):
+    """serve(devices=-1) builds the data mesh and serves sharded batches."""
+    from diffusion_model_nemo_tpu.serving import serve as serve_fn
+
+    model = tiny_model()
+    path = str(tmp_path / "tiny.dmn")
+    model.save_to(path)
+    server = serve_fn(
+        model_path=path, port=0, max_batch=8, linger_ms=1.0,
+        use_ddim_sampler=False, devices=-1, transfer="float32",
+    )
+    try:
+        assert server.batcher.mesh is not None
+        assert int(server.batcher.mesh.shape["data"]) == 8
+        out = server.batcher.submit(3, seed=2, timeout=120)
+        assert out.shape == (3, IMG, IMG, 1)
+    finally:
+        server.shutdown()
