@@ -227,6 +227,7 @@ def main() -> None:
     # ---- fast-sampler legs: DDIM-50 + score-SDE PC (driver-visible so
     # regressions in the strided/SDE paths show up in BENCH_r*.json) ----------
     ddim50 = None
+    dpm20 = None
     pc_sde = None
     dim128 = None
     train = None
@@ -251,6 +252,26 @@ def main() -> None:
             ddim50 = {"sps": round(BATCH / sec, 1), "steps": 50, "eta": 0.0}
         except Exception as e:
             ddim50 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            from diffusion_model_nemo_tpu.modules import DPMSolverDiffusion
+
+            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
+            dpm = DPMSolverDiffusion(
+                timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
+            )
+            fused = jax.jit(lambda p, k: dpm.p_sample_loop(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(4)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 10
+            out = None
+            for i in range(RUNS):
+                out = fused(params, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            dpm20 = {"sps": round(BATCH / sec, 1), "steps": 20, "order": 2}
+        except Exception as e:
+            dpm20 = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
             from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
             from diffusion_model_nemo_tpu.modules.sde_samplers import (
@@ -329,6 +350,7 @@ def main() -> None:
         "device_kind": device_kind,
         "peak_bf16_flops": peak,
         "ddim50": ddim50,
+        "dpm20": dpm20,
         "pc_sde": pc_sde,
         "tpu_s2d": s2d,
         "dim128": dim128,

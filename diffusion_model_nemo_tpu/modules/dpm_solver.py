@@ -1,0 +1,184 @@
+"""DPM-Solver++ (2M) fast sampler — Lu et al. 2022 (arXiv:2211.01095).
+
+Beyond the reference's sampler surface (its fastest sampler is strided DDIM,
+generalized_gaussian_diffusion.py): a second-order multistep ODE solver in
+data-prediction form, reaching DDIM-50-class sample quality in ~15-25 network
+evaluations. Drop-in ``change_sampler`` target for every epsilon/x0 model in
+the framework (same ``p_sample_loop`` contract as GaussianDiffusion).
+
+TPU design: the solver's per-step scalars (sigma ratios, exp(-h) terms,
+multistep weights) depend only on the beta schedule and the step grid, so
+they are all precomputed on host into [M]-vectors and fed to ``lax.scan`` as
+xs — the compiled loop body contains the network call and fused elementwise
+math only, with ZERO table gathers (the DDPM/DDIM scans pay dynamic-slice
+lookups per step; here even those disappear). The carry holds the previous
+x0 prediction (the "multistep" memory) alongside the image, both flattened
+to [B, H·W·C] for full-lane elementwise math.
+
+Update rule (data prediction, state s -> target t, h = lambda_t - lambda_s):
+    x_t = (sigma_t / sigma_s) * x_s - alpha_t * (e^{-h} - 1) * D
+    D   = (1 + 1/(2 r)) * x0_s - (1/(2 r)) * x0_prev,   r = h_prev / h
+with order-1 (D = x0_s, i.e. exactly DDIM eta=0) for the first step and —
+when the grid ends at the data endpoint alpha_bar = 1, where h is infinite —
+for the final step (``lower_order_final``, standard for small step counts).
+e^{-h} is computed as the ratio (alpha_s sigma_t)/(alpha_t sigma_s), which
+stays finite on the whole extended grid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import register_target
+from .diffusion_process import ModelFn
+from .gaussian_diffusion import batched_t
+from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
+
+__all__ = ["DPMSolverDiffusion"]
+
+
+@register_target(
+    "diffusion_model_nemo.modules.DPMSolverDiffusion",
+    "diffusion_model_nemo_tpu.modules.DPMSolverDiffusion",
+)
+class DPMSolverDiffusion(GeneralizedGaussianDiffusion):
+    def __init__(
+        self,
+        timesteps: int,
+        schedule_name: str,
+        schedule_cfg: Optional[Dict[str, Any]] = None,
+        objective: str = "pred_noise",
+        solver_steps: int = 20,
+        solver_order: int = 2,
+        lower_order_final: bool = True,
+        clip_denoised: bool = True,
+        time_spacing: str = "strided",
+        class_conditional: bool = False,
+    ):
+        super().__init__(
+            timesteps=timesteps,
+            schedule_name=schedule_name,
+            schedule_cfg=schedule_cfg,
+            objective=objective,
+            eta=0.0,  # deterministic ODE solver
+            ddim_timesteps=solver_steps,
+            class_conditional=class_conditional,
+        )
+        if solver_order not in (1, 2):
+            raise ValueError(f"solver_order must be 1 or 2, got {solver_order}")
+        if time_spacing not in ("strided", "logsnr"):
+            raise ValueError(f"time_spacing must be strided|logsnr, got {time_spacing}")
+        self.solver_steps = int(solver_steps)
+        self.solver_order = int(solver_order)
+        self.lower_order_final = bool(lower_order_final)
+        self.clip_denoised = bool(clip_denoised)
+        self.time_spacing = time_spacing
+
+    # ---- step grid -----------------------------------------------------------
+    def _solver_sequences(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Descending (t, t_next) index pairs ending at -1 (alpha_bar = 1).
+
+        ``strided`` reuses DDIM's uniform-t grid (same network eval times —
+        the honest apples-to-apples comparison); ``logsnr`` picks the
+        discrete indices closest to a uniform log-SNR (lambda) grid, the
+        spacing the DPM-Solver paper recommends for few-step sampling.
+        """
+        if self.time_spacing == "strided":
+            return self._strided_sequences()
+        acp = np.asarray(self.constants.alphas_cumprod, np.float64)
+        lam = 0.5 * (np.log(acp) - np.log1p(-acp))  # log(alpha/sigma)
+        targets = np.linspace(lam[self.timesteps - 1], lam[0], self.solver_steps)
+        idx = np.unique(np.abs(lam[None, :] - targets[:, None]).argmin(axis=1))
+        seq = np.sort(idx)[::-1].astype(np.int32)  # descending t
+        seq_next = np.concatenate([seq[1:], np.asarray([-1], np.int32)])
+        return seq, seq_next
+
+    def _solver_coefficients(self):
+        """Host-side per-step scalars for the scan (everything but the net).
+
+        Returns dict of [M] float32 vectors:
+          t        — network conditioning time (the state time s_i)
+          alpha_s, sigma_s — for the eps -> x0 conversion at s_i
+          c_x      — sigma_t / sigma_s       (carry coefficient)
+          c_d      — alpha_t - alpha_s * sigma_t / sigma_s  (= -alpha_t(e^{-h}-1))
+          w_prev   — multistep weight of x0_{i-1}   (0 on order-1 steps)
+        """
+        seq, seq_next = self._solver_sequences()
+        acp_ext = np.asarray(self.alphas_extended_cumprod, np.float64)
+        a_s = np.sqrt(acp_ext[seq + 1])
+        s_s = np.sqrt(1.0 - acp_ext[seq + 1])
+        a_t = np.sqrt(acp_ext[seq_next + 1])
+        s_t = np.sqrt(1.0 - acp_ext[seq_next + 1])
+
+        c_x = s_t / s_s
+        c_d = a_t - a_s * s_t / s_s
+
+        M = len(seq)
+        w_prev = np.zeros(M)
+        if self.solver_order == 2:
+            with np.errstate(divide="ignore"):
+                lam_s = np.log(a_s) - np.log(s_s)
+                lam_t = np.where(s_t > 0.0, np.log(a_t) - np.log(np.maximum(s_t, 1e-300)), np.inf)
+            h = lam_t - lam_s  # [M], h[i] spans step i
+            for i in range(1, M):
+                if not np.isfinite(h[i]):  # data endpoint: order-1 is exact
+                    continue
+                if self.lower_order_final and i == M - 1:
+                    continue
+                w_prev[i] = -h[i] / (2.0 * h[i - 1])
+        return {
+            "t": seq.astype(np.float32),
+            "alpha_s": a_s.astype(np.float32),
+            "sigma_s": s_s.astype(np.float32),
+            "c_x": c_x.astype(np.float32),
+            "c_d": c_d.astype(np.float32),
+            "w_prev": w_prev.astype(np.float32),
+        }
+
+    # ---- sampling ------------------------------------------------------------
+    def p_sample_loop(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        shape: Tuple[int, ...],
+        key: jax.Array,
+        img: Optional[jnp.ndarray] = None,
+        num_steps: Optional[int] = None,
+        return_frames: bool = False,
+        unnormalize: bool = True,
+    ):
+        del num_steps  # grid is controlled by solver_steps/time_spacing
+        B = shape[0]
+        coefs = {k: jnp.asarray(v) for k, v in self._solver_coefficients().items()}
+        M = int(coefs["t"].shape[0])
+
+        key, init_key = jax.random.split(key)
+        if img is None:
+            img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+        def step(carry, cs):
+            x, x0_prev = carry
+            eps = model_fn(params, x.reshape(shape), batched_t(cs["t"], x))
+            eps = eps.reshape(x.shape)
+            if self.objective == "pred_noise":
+                x0 = (x - cs["sigma_s"] * eps) / cs["alpha_s"]
+            else:
+                x0 = eps
+            if self.clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            d = (1.0 - cs["w_prev"]) * x0 + cs["w_prev"] * x0_prev
+            x = cs["c_x"] * x + cs["c_d"] * d
+            y = (x + 1.0) * 0.5 if return_frames else None
+            return (x, x0), y
+
+        flat = img.reshape(B, -1)
+        (flat, _), frames = jax.lax.scan(step, (flat, jnp.zeros_like(flat)), coefs)
+        img = flat.reshape(shape)
+        out = (img + 1.0) * 0.5 if unnormalize else img
+        if return_frames:
+            return out, frames.reshape((M,) + tuple(shape))
+        return out

@@ -432,6 +432,10 @@ def serve(
     use_ddim_sampler: bool = False,
     ddim_timesteps: int = 50,
     ddim_eta: float = 0.0,
+    use_dpm_solver: bool = False,
+    dpm_steps: int = 20,
+    dpm_order: int = 2,
+    dpm_time_spacing: str = "strided",
     image_size: Optional[int] = None,
     base_seed: int = 0,
     transfer: str = "uint8",
@@ -453,7 +457,16 @@ def serve(
     from ..models import restore_model_from_archive
 
     model = restore_model_from_archive(model_path, use_ema=False)
-    if use_ddim_sampler:
+    if use_dpm_solver:
+        # DPM-Solver++(2M): DDIM-50-class quality in ~20 evals — the highest
+        # throughput sampler for production serving (modules/dpm_solver.py).
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.DPMSolverDiffusion"
+        sampler_cfg["solver_steps"] = dpm_steps
+        sampler_cfg["solver_order"] = dpm_order
+        sampler_cfg["time_spacing"] = dpm_time_spacing
+        model.change_sampler(sampler_cfg)
+    elif use_ddim_sampler:
         sampler_cfg = dict(model.cfg.sampler)
         sampler_cfg["_target_"] = "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion"
         sampler_cfg["eta"] = ddim_eta

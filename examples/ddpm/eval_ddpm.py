@@ -31,6 +31,12 @@ class EvalConfig:
     ddim_eta: float = 0.0  # 0 = DDIM mode, 1 = DDPM mode
     ddim_timesteps: int = 10  # -1 uses original timesteps
 
+    # DPM-Solver++ (2nd-order multistep ODE sampler; overrides DDIM when set)
+    use_dpm_solver: bool = False
+    dpm_steps: int = 20
+    dpm_order: int = 2
+    dpm_time_spacing: str = "strided"  # strided | logsnr
+
     # Output
     output_dir: str = "samples"
     add_timestamp: bool = True
@@ -46,7 +52,14 @@ class EvalConfig:
 
 
 def maybe_use_ddim_sampler(model: DDPM, cfg: EvalConfig) -> None:
-    if cfg.use_ddim_sampler:
+    if getattr(cfg, "use_dpm_solver", False):
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.DPMSolverDiffusion"
+        sampler_cfg["solver_steps"] = cfg.dpm_steps
+        sampler_cfg["solver_order"] = cfg.dpm_order
+        sampler_cfg["time_spacing"] = cfg.dpm_time_spacing
+        model.change_sampler(sampler_cfg)
+    elif cfg.use_ddim_sampler:
         sampler_cfg = dict(model.cfg.sampler)
         sampler_cfg["_target_"] = "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion"
         sampler_cfg["eta"] = cfg.ddim_eta

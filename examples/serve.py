@@ -43,6 +43,10 @@ class ServeConfig:
     use_ddim_sampler: bool = True
     ddim_timesteps: int = 50
     ddim_eta: float = 0.0
+    use_dpm_solver: bool = False  # DPM-Solver++(2M): overrides DDIM when true
+    dpm_steps: int = 20
+    dpm_order: int = 2
+    dpm_time_spacing: str = "strided"
 
     image_size: Optional[int] = None  # default: the archive's image_size
 
@@ -65,6 +69,10 @@ def main(cfg):
         use_ddim_sampler=cfg.use_ddim_sampler,
         ddim_timesteps=cfg.ddim_timesteps,
         ddim_eta=cfg.ddim_eta,
+        use_dpm_solver=cfg.use_dpm_solver,
+        dpm_steps=cfg.dpm_steps,
+        dpm_order=cfg.dpm_order,
+        dpm_time_spacing=cfg.dpm_time_spacing,
         image_size=cfg.image_size,
         base_seed=cfg.base_seed,
         transfer=cfg.transfer,

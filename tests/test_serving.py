@@ -244,3 +244,25 @@ def test_serve_devices_builds_mesh(tmp_path):
         assert out.shape == (3, IMG, IMG, 1)
     finally:
         server.shutdown()
+
+
+def test_serve_dpm_solver_swap(tmp_path):
+    """serve(use_dpm_solver=True) hot-swaps the archive's sampler to
+    DPM-Solver++ (the production fast path)."""
+    from diffusion_model_nemo_tpu.modules import DPMSolverDiffusion
+    from diffusion_model_nemo_tpu.serving import serve as serve_fn
+
+    model = tiny_model()
+    path = str(tmp_path / "tiny.dmn")
+    model.save_to(path)
+    server = serve_fn(
+        model_path=path, port=0, max_batch=4, linger_ms=1.0,
+        use_dpm_solver=True, dpm_steps=5, transfer="float32",
+    )
+    try:
+        assert isinstance(server.batcher.model.sampler, DPMSolverDiffusion)
+        out = server.batcher.submit(2, seed=1, timeout=120)
+        assert out.shape == (2, IMG, IMG, 1)
+        assert np.isfinite(out).all()
+    finally:
+        server.shutdown()
