@@ -84,6 +84,9 @@ def _head_map(head: str, order: str) -> Tuple[str, str]:
         return "time_mlp.3", "dense"
     if head == "class_embed":
         return "class_embed", "embed"
+    m = re.fullmatch(r"film_(\d+)", head)
+    if m:  # WaveGradUNet FiLM modules (reference unet.py:204-210)
+        return f"films.{m.group(1)}", "film"
     # final Sequential(block, [GN, SiLU,] conv) — reference unet.py:112-117
     if head == "final_block":
         return "final_conv.0", "resblock"
@@ -123,6 +126,14 @@ def _leaf_rules(
         if kind == "downsample":
             return CONV[leaf][0], CONV[leaf][1]
         return ("weight", _conv_transpose) if leaf == "kernel" else ("bias", _identity)
+    if kind == "film":
+        # signal_conv is Sequential(conv, LeakyReLU) -> .0; scale/shift plain
+        # convs (reference parts/film.py:31-56)
+        table = {"signal_conv": "signal_conv.0", "scale_conv": "scale_conv",
+                 "shift_conv": "shift_conv"}
+        if sub in table:
+            return f"{table[sub]}.{CONV[leaf][0]}", CONV[leaf][1]
+        raise KeyError(f"film sub-path {rest!r}")
     if kind == "attn":
         # Residual(PreNorm(attn)): norm on the PreNorm, fn.* on the attention.
         if sub == "norm":
@@ -168,6 +179,7 @@ def convert_unet_state_dict(
     params_template: Dict[str, Any],
     use_convnext: bool = False,
     resnet_block_order: str = "bn_act_conv",
+    drop_dead_films: bool = False,
 ) -> Dict[str, Any]:
     """Convert a reference torch ``state_dict`` (prefix already stripped) into
     a parameter tree matching ``params_template`` (an initialized Flax params
@@ -223,6 +235,11 @@ def convert_unet_state_dict(
     unused = sorted(set(sd) - used)
     # torch buffers (none for GN) or extra heads are suspicious: surface them.
     unused = [k for k in unused if not k.endswith("num_batches_tracked")]
+    if drop_dead_films:
+        # The reference WaveGradUNet constructs up-path FiLMs its forward
+        # never calls (unet.py:206-209 vs :211-266); their weights carry no
+        # information and are not created here.
+        unused = [k for k in unused if not re.match(r"films\.\d+\.", k)]
     if unused:
         errors.append(f"unconsumed torch keys: {unused[:8]}{'…' if len(unused) > 8 else ''}")
     if errors:

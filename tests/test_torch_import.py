@@ -375,3 +375,149 @@ optim:
     w = np.asarray(jax.tree.leaves({"k": model.params["init_conv"]["kernel"]})[0])
     tw = tnet.state_dict()["init_conv.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(w, tw)
+
+
+# ---- WaveGrad FiLM variant ---------------------------------------------------
+class RPositionalEncoding(tnn.Module):
+    def __init__(self, n_channels):
+        super().__init__()
+        self.n_channels = n_channels
+
+    def forward(self, noise_level):
+        half = self.n_channels // 2
+        exponents = torch.arange(half, dtype=torch.float32) / float(half)
+        exponents = 1e-4 ** exponents
+        exponents = 5000 * noise_level.unsqueeze(1) * exponents.unsqueeze(0)
+        out = torch.cat([exponents.sin(), exponents.cos()], dim=-1)
+        return out[:, :, None, None]
+
+
+class RFiLM(tnn.Module):
+    """Reference parts/film.py: signal_conv = Sequential(conv, LeakyReLU)."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.signal_conv = tnn.Sequential(
+            tnn.Conv2d(in_ch, in_ch, 3, padding=1), tnn.LeakyReLU(0.2)
+        )
+        self.positional_encoding = RPositionalEncoding(in_ch)
+        self.scale_conv = tnn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.shift_conv = tnn.Conv2d(in_ch, out_ch, 3, padding=1)
+
+    def forward(self, x, noise_level):
+        h = self.signal_conv(x) + self.positional_encoding(noise_level)
+        return self.scale_conv(h), self.shift_conv(h)
+
+
+class RWaveGradUNet(tnn.Module):
+    """Key-faithful WaveGradUNet replica (dim_mults=(1, 2)): FiLM-conditioned,
+    no time_mlp, INCLUDING the reference's dead up-path FiLMs
+    (reference unet.py:204-210)."""
+
+    def __init__(self, dim=8, channels=1, groups=4):
+        super().__init__()
+        self.init_conv = tnn.Conv2d(channels, dim, 7, padding=3)
+
+        def block(din, dout):
+            return RResnetBlock(din, dout, None, groups)
+
+        d0, d1 = dim, dim * 2
+        self.downs = tnn.ModuleList(
+            [
+                tnn.ModuleList(
+                    [block(dim, d0), block(d0, d0),
+                     RResidual(RPreNorm(d0, RLinearAttention(d0))),
+                     tnn.Conv2d(d0, d0, 4, stride=2, padding=1)]
+                ),
+                tnn.ModuleList(
+                    [block(d0, d1), block(d1, d1),
+                     RResidual(RPreNorm(d1, RLinearAttention(d1))),
+                     tnn.Identity()]
+                ),
+            ]
+        )
+        self.mid_block1 = block(d1, d1)
+        self.mid_attn = RResidual(RPreNorm(d1, RAttention(d1)))
+        self.mid_block2 = block(d1, d1)
+        self.ups = tnn.ModuleList(
+            [
+                tnn.ModuleList(
+                    [block(d1 * 2, d0), block(d0, d0),
+                     RResidual(RPreNorm(d0, RLinearAttention(d0))),
+                     tnn.ConvTranspose2d(d0, d0, 4, stride=2, padding=1)]
+                )
+            ]
+        )
+        self.final_conv = tnn.Sequential(
+            block(dim, dim), tnn.GroupNorm(groups, dim), tnn.SiLU(),
+            tnn.Conv2d(dim, channels, 1)
+        )
+        # films: stem + one per down level + DEAD up-path films
+        films = [RFiLM(dim, dim), RFiLM(d0, d0), RFiLM(d1, d1)]
+        films.append(RFiLM(d1, d1))  # dead up-path film (reference :207-209)
+        self.films = tnn.ModuleList(films)
+
+    def forward(self, x, noise_level):
+        x = self.init_conv(x)
+        statistics = [self.films[0](x, noise_level)]
+        h = []
+        for i, (b1, b2, attn, down) in enumerate(self.downs):
+            x = b1(x)
+            x = b2(x)
+            x = attn(x)
+            h.append(x)
+            statistics.append(self.films[i + 1](x, noise_level))
+            x = down(x)
+        x = self.mid_block1(x)
+        x = self.mid_attn(x)
+        x = self.mid_block2(x)
+        statistics.pop()  # deepest stats discarded (reference :249)
+        for b1, b2, attn, up in self.ups:
+            scale, shift = statistics.pop()
+            x = torch.cat((x, h.pop()), dim=1)
+            x = b1(x)
+            x = b2(x)
+            x = attn(x)
+            x = up(x)
+            x = x * scale + shift
+        scale, shift = statistics.pop()
+        x = scale * x + shift
+        return self._final(x)
+
+    def _final(self, x):
+        x = self.final_conv[0](x)
+        for m in list(self.final_conv)[1:]:
+            x = m(x)
+        return x
+
+
+def test_import_wavegrad_film_forward_parity():
+    from diffusion_model_nemo_tpu.modules import WaveGradUNet
+
+    torch.manual_seed(0)
+    tnet = RWaveGradUNet().eval()
+    net = WaveGradUNet(
+        input_dim=IMG, dim=8, channels=1, dim_mults=(1, 2),
+        use_convnext=False, resnet_block_groups=4,
+    )
+    template = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 1)), jnp.full((1,), 0.5)
+    )["params"]
+
+    # dead films present in the torch dict must fail without the waiver...
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_unet_state_dict(tnet.state_dict(), template)
+    # ...and convert cleanly with it
+    params = convert_unet_state_dict(
+        tnet.state_dict(), template, drop_dead_films=True
+    )
+
+    x = np.random.default_rng(2).normal(size=(2, IMG, IMG, 1)).astype(np.float32)
+    lvl = np.asarray([0.3, 0.8], np.float32)
+    with torch.no_grad():
+        ty = tnet(torch.as_tensor(x).permute(0, 3, 1, 2), torch.as_tensor(lvl)).numpy()
+    jy = np.asarray(
+        net.apply({"params": jax.tree.map(jnp.asarray, params)},
+                  jnp.asarray(x), jnp.asarray(lvl))
+    )
+    np.testing.assert_allclose(jy, np.moveaxis(ty, 1, -1), atol=2e-4)

@@ -106,11 +106,13 @@ def main() -> None:
     model.init_params(jax.random.PRNGKey(0))
 
     dm = cfg.get("diffusion_model", {})
+    is_wavegrad = "WaveGradUNet" in str(dm.get("_target_", ""))
     params = convert_unet_state_dict(
         strip_prefix({k: v for k, v in state.items()}),
         model.params,
         use_convnext=bool(dm.get("use_convnext", True)),
         resnet_block_order=str(dm.get("resnet_block_order", "bn_act_conv")),
+        drop_dead_films=is_wavegrad,
     )
     import jax.numpy as jnp
 
