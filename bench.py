@@ -145,8 +145,13 @@ def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
         }
     )
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def update(params, opt_state, ema_params, batch, key, step):
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
+    def update(params, opt_state, ema_params, batch, base_key, step):
+        # key derived in-graph + device-carried step: the Trainer's
+        # production pattern (trainer.py:_build_update_fn) — host-created
+        # fold_in/asarray(step) per step are extra dispatches that dominate
+        # once the device step is fast (measured 7.2k -> 15.5k sps on s2d).
+        key = jax.random.fold_in(base_key, step)
         (loss, _), g = jax.value_and_grad(model.training_step, has_aux=True)(
             params, batch, key, step
         )
@@ -156,18 +161,19 @@ def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
         # grad_norm is a live output so this measures exactly the Trainer's
         # production step (trainer.py:_build_update_fn emits it per step).
         metrics = {"train_loss": loss, "grad_norm": optax.global_norm(g)}
-        return params, opt_state, ema_params, metrics
+        return params, opt_state, ema_params, step + 1, metrics
 
-    key = jax.random.PRNGKey(1)
-    for i in range(3):  # compile + settle
-        params, opt, ema, metrics = update(
-            params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
+    base_key = jax.random.PRNGKey(1)
+    step_dev = jnp.asarray(0, jnp.int32)
+    for _ in range(3):  # compile + settle
+        params, opt, ema, step_dev, metrics = update(
+            params, opt, ema, batch, base_key, step_dev
         )
     metrics["train_loss"].block_until_ready()
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt, ema, metrics = update(
-            params, opt, ema, batch, jax.random.fold_in(key, i), jnp.asarray(i)
+    for _ in range(steps):
+        params, opt, ema, step_dev, metrics = update(
+            params, opt, ema, batch, base_key, step_dev
         )
     metrics["train_loss"].block_until_ready()
     sec = (time.perf_counter() - t0) / steps

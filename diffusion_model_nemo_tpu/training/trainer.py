@@ -51,6 +51,7 @@ class Trainer:
         seed: int = 42,
         strategy: Optional[str] = None,  # ddp (default) | fsdp | tensor_parallel | fsdp_tp
         tp_size: int = 0,  # model-axis size for tensor_parallel; <=0 = auto
+        steps_per_execution: int = 1,  # optimizer steps per device dispatch (lax.scan)
         accelerator: str = "auto",
         limit_test_batches: Optional[float] = None,
         profile_dir: Optional[str] = None,
@@ -73,6 +74,19 @@ class Trainer:
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.accumulate_grad_batches = max(int(accumulate_grad_batches or 1), 1)
+        # Multi-step dispatch (the Keras/TF ``steps_per_execution`` analogue):
+        # scan K full optimizer steps inside ONE jitted call, so per-dispatch
+        # latency (a full tunnel round-trip on remote-TPU rigs) amortizes
+        # over K steps. Logging/checkpoint cadences quantize to K-step
+        # boundaries. Composes with neither grad-accum (both stack batches on
+        # the leading axis) — accum wins if both are set.
+        self.steps_per_execution = max(int(steps_per_execution or 1), 1)
+        if self.steps_per_execution > 1 and self.accumulate_grad_batches > 1:
+            logging.warning(
+                "steps_per_execution > 1 is unsupported with "
+                "accumulate_grad_batches > 1; running single-step dispatch"
+            )
+            self.steps_per_execution = 1
         self.gradient_clip_val = gradient_clip_val
         self.precision = precision
         self.log_every_n_steps = int(log_every_n_steps)
@@ -184,11 +198,18 @@ class Trainer:
             start_step = int(resume_state["step"])
             logging.info(f"Resumed training from step {start_step}")
 
-        update = self._build_update_fn(model.training_step, tx)
         accum = self.accumulate_grad_batches
+        spe = self.steps_per_execution
+        if spe > 1:
+            update_multi, update = self._build_multi_update_fn(model.training_step, tx)
+        else:
+            update_multi, update = None, self._build_update_fn(model.training_step, tx)
+        group = accum if accum > 1 else spe  # batches stacked [group, B, ...]
+        stacked = group > 1
 
         base_key = jax.random.PRNGKey(self.seed)
-        step = start_step
+        step = start_step  # host mirror for cadence/logging control flow
+        step_dev = jnp.asarray(start_step, jnp.int32)  # carried device scalar
         epoch = 0
         t_last = time.perf_counter()
         samples_since = 0
@@ -199,27 +220,47 @@ class Trainer:
             f"({steps_per_epoch} steps/epoch, accum={self.accumulate_grad_batches})"
         )
         while not done:
-            for batch in self._accumulated(train_dl, accum):
+            for host_batch in self._accumulated(train_dl, group):
                 if step >= max_steps:
                     done = True
                     break
-                batch = self._put_batch(batch, stacked=accum > 1)
-                key = jax.random.fold_in(base_key, step)
                 # Optional jax.profiler trace of a step window (aux subsystem).
                 if self.profile_dir and step == self.profile_start_step:
                     jax.profiler.start_trace(self.profile_dir)
                 if self.profile_dir and step == self.profile_start_step + self.profile_num_steps:
                     jax.profiler.stop_trace()
                     logging.info(f"Profiler trace written to {self.profile_dir}")
-                params, opt_state, ema_params, metrics = update(
-                    params, opt_state, ema_params, batch, key, jnp.asarray(step, jnp.int32)
-                )
-                step += 1
+                if spe > 1 and step + spe > max_steps:
+                    # Tail shorter than the compiled scan: replay the group's
+                    # remaining steps through the single-step jit.
+                    for i in range(max_steps - step):
+                        b = self._put_batch({k: v[i] for k, v in host_batch.items()})
+                        params, opt_state, ema_params, step_dev, metrics = update(
+                            params, opt_state, ema_params, b, base_key, step_dev
+                        )
+                    newly = max_steps - step
+                elif spe > 1:
+                    batch = self._put_batch(host_batch, stacked=True)
+                    params, opt_state, ema_params, step_dev, metrics = update_multi(
+                        params, opt_state, ema_params, batch, base_key, step_dev
+                    )
+                    newly = spe
+                else:
+                    batch = self._put_batch(host_batch, stacked=stacked)
+                    params, opt_state, ema_params, step_dev, metrics = update(
+                        params, opt_state, ema_params, batch, base_key, step_dev
+                    )
+                    newly = 1
+                prev_step = step
+                step += newly
                 self.global_step = step
-                lead = next(iter(batch.values())).shape
-                samples_since += lead[0] * (lead[1] if accum > 1 else 1)
+                lead = next(iter(host_batch.values())).shape
+                samples_since += lead[0] * (lead[1] if stacked else 1)
 
-                if step % self.log_every_n_steps == 0 or step == max_steps:
+                def _crossed(cadence: int) -> bool:
+                    return cadence > 0 and (step // cadence) > (prev_step // cadence)
+
+                if _crossed(self.log_every_n_steps) or step == max_steps:
                     now = time.perf_counter()
                     # One batched device→host transfer (per-leaf float() would
                     # pay a tunnel round-trip per metric on remote-TPU rigs).
@@ -244,7 +285,7 @@ class Trainer:
                 # Periodic sample dump (+ optional bits/dim), reference
                 # ddpm.py:65-75 — uses the freshest params.
                 save_every = int(model.save_and_sample_every or 0)
-                if save_every and step % save_every == 0:
+                if save_every and _crossed(save_every):
                     # Hand the model COPIES: the live arrays are donated by
                     # the next update, and the model must stay usable if fit
                     # exits abnormally (e.g. the NaN halt below).
@@ -256,7 +297,10 @@ class Trainer:
                     if model.cfg.get("compute_bpd", False):
                         from ..data.hf_vision_data import preprocess_batch
 
-                        flat = batch if accum == 1 else {k: v[0] for k, v in batch.items()}
+                        flat = (
+                            host_batch if not stacked
+                            else {k: v[0] for k, v in host_batch.items()}
+                        )
                         proc = preprocess_batch(flat, None, train=False)
                         bpd = model.calculate_bits_per_dimension(proc["pixel_values"])
                         self._log_metrics(
@@ -305,8 +349,15 @@ class Trainer:
         accum = self.accumulate_grad_batches
         ema_decay = self.ema_decay
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def update(params, opt_state, ema_params, batch, key, step):
+        # ``step`` is a CARRIED device scalar and the per-step key is derived
+        # in-graph (fold_in(base_key, step) — same stream as the historical
+        # host-side derivation, bitwise). Rationale: a host-created
+        # ``fold_in``/``asarray(step)`` pair per step is two extra dispatches
+        # through the (remote) device queue; once the device step got fast
+        # (s2d geometry: 2.1 ms) they dominated wall-clock — measured 7.2k ->
+        # 15.5k samples/sec on the s2d trainer by hoisting them in-graph.
+        def step_body(params, opt_state, ema_params, batch, base_key, step):
+            key = jax.random.fold_in(base_key, step)
             if accum == 1:
                 (loss, metrics), grads = jax.value_and_grad(train_step_fn, has_aux=True)(
                     params, batch, key, step
@@ -332,9 +383,40 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             ema_params = ema_update(ema_params, params, ema_decay, step)
             metrics["grad_norm"] = optax.global_norm(grads)
-            return params, opt_state, ema_params, metrics
+            return params, opt_state, ema_params, step + 1, metrics
 
-        return update
+        self._step_body = step_body  # un-jitted; reused by the multi-step scan
+        return jax.jit(step_body, donate_argnums=(0, 1, 2, 5))
+
+    def _build_multi_update_fn(self, train_step_fn, tx):
+        """K full optimizer steps per device dispatch: ``lax.scan`` over the
+        SAME single-step body with batches stacked [K, B, ...]. The key stream
+        is fold_in(base_key, step) exactly as in single-step mode and the data
+        order is unchanged, so a ``steps_per_execution=K`` run matches K
+        single-step dispatches up to XLA fusion rounding — the scanned body
+        and the top-level jit compile to slightly different fused kernels
+        (~4e-9 grad-level; Adam amplifies to ~6e-6 param-level after 5 steps
+        on CPU; tests/test_determinism.py). Each mode is individually
+        bitwise-reproducible."""
+        assert self.accumulate_grad_batches == 1, "steps_per_execution requires accum == 1"
+        single = self._build_update_fn(train_step_fn, tx)  # jitted (tail steps)
+        step_body = self._step_body
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
+        def update_multi(params, opt_state, ema_params, batches, base_key, step):
+            def body(carry, mb):
+                p, o, e, s = carry
+                p, o, e, s, m = step_body(p, o, e, mb, base_key, s)
+                return (p, o, e, s), m
+
+            (params, opt_state, ema_params, step), ms = jax.lax.scan(
+                body, (params, opt_state, ema_params, step), batches
+            )
+            # Report the group's LAST step (what per-step logging would show).
+            metrics = jax.tree.map(lambda m: m[-1], ms)
+            return params, opt_state, ema_params, step, metrics
+
+        return update_multi, single
 
     @staticmethod
     def _accumulated(loader, accum: int):
