@@ -74,6 +74,27 @@ def test_trainer_runs_on_mesh(tmp_path):
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(model.params)[0])))
 
 
+def test_trainer_steps_per_execution_on_mesh(tmp_path):
+    """steps_per_execution composes with mesh data-parallelism: the scanned
+    multi-step update runs with batches stacked [K, B, ...] and sharded over
+    the data axis on dim 1 (trainer._put_batch stacked=True), with donated
+    sharded carries. max_steps=5, K=2 also exercises the tail replay."""
+    from tests.test_training_e2e import tiny_ddpm_cfg
+    from diffusion_model_nemo_tpu.training import Trainer
+
+    cfg = tiny_ddpm_cfg(tmp_path)
+    model = DDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    init0 = np.asarray(jax.tree.leaves(model.params)[0]).copy()
+    trainer = Trainer(devices=-1, max_steps=5, log_every_n_steps=2,
+                      steps_per_execution=2)
+    assert trainer.mesh.devices.size == 8
+    trainer.fit(model)
+    assert trainer.global_step == 5
+    leaf0 = np.asarray(jax.tree.leaves(model.params)[0])
+    assert np.all(np.isfinite(leaf0)) and np.abs(leaf0 - init0).max() > 0
+
+
 def test_sharded_sampling_matches_replicated(tmp_path):
     """sample(mesh=...) shards the batch over the data axis and must produce
     the same images as the unsharded path (same keys, same params)."""
