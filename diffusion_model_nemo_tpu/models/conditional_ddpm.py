@@ -82,6 +82,39 @@ class ConditionalDDPM(DDPM):
             return jnp.full((batch_size,), self.random_class_index, dtype=jnp.int32)
         return jnp.full((batch_size,), int(label), dtype=jnp.int32)
 
+    def _cfg_model_fn(self, labels, guidance_scale: float):
+        """Classifier-free-guided denoiser: one 2B-batched network call per
+        step (conditional + null rows concatenated — twice the FLOPs of a B
+        call but one matmul stream, so the MXU stays filled) combined as
+        eps = eps_uncond + w * (eps_cond - eps_uncond). w = 1 reduces to
+        plain conditional sampling (up to fp rounding). BEYOND REFERENCE:
+        the reference trains jointly conditional/unconditional
+        (conditional_ddpm.py:57-67) which is exactly the CFG recipe, but
+        never exploits it at sampling. With learned-variance outputs
+        ([..., 2C]) guidance applies to the eps half and the variance comes
+        from the conditional branch (the guided-diffusion convention)."""
+        w = float(guidance_scale)
+        null = jnp.full_like(labels, self.random_class_index)
+
+        def model_fn(p, x, t):
+            t = jnp.asarray(t)
+            tt = jnp.concatenate([t, t]) if t.ndim == 1 else t
+            out = self.model_fn(
+                p,
+                jnp.concatenate([x, x], axis=0),
+                tt,
+                classes=jnp.concatenate([labels, null], axis=0),
+            )
+            out_c, out_u = jnp.split(out, 2, axis=0)
+            C = x.shape[-1]
+            if out_c.shape[-1] == 2 * C:  # learned variance: guide eps only
+                eps_c, var_c = jnp.split(out_c, 2, axis=-1)
+                eps_u = jnp.split(out_u, 2, axis=-1)[0]
+                return jnp.concatenate([eps_u + w * (eps_c - eps_u), var_c], axis=-1)
+            return out_u + w * (out_c - out_u)
+
+        return model_fn
+
     def sample(
         self,
         batch_size: int,
@@ -92,11 +125,16 @@ class ConditionalDDPM(DDPM):
         return_frames: bool = False,
         mesh=None,
         shard_axis: str = "batch",
+        guidance_scale: Optional[float] = None,
         **kwargs,
     ):
         """Class-conditional sampling; ``mesh``/``shard_axis`` shard the
         images over the ``data`` axis exactly like ``DDPM.sample`` (labels
-        follow the batch split, or replicate under spatial sharding)."""
+        follow the batch split, or replicate under spatial sharding).
+        ``guidance_scale`` enables classifier-free guidance (requires a
+        class ``label``; w=1 ≈ conditional, w>1 sharpens class adherence)."""
+        if guidance_scale is not None and label is None:
+            raise ValueError("guidance_scale requires a class label")
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
         labels = self._label_array(batch_size, label)
@@ -107,7 +145,10 @@ class ConditionalDDPM(DDPM):
 
         def build():
             def fn(params, labels, key):
-                model_fn = lambda p, x, t: self.model_fn(p, x, t, classes=labels)
+                if guidance_scale is None:
+                    model_fn = lambda p, x, t: self.model_fn(p, x, t, classes=labels)
+                else:
+                    model_fn = self._cfg_model_fn(labels, guidance_scale)
                 return sampler.p_sample_loop(
                     model_fn, params, shape, key, return_frames=return_frames
                 )
@@ -125,7 +166,13 @@ class ConditionalDDPM(DDPM):
 
         params = self.ema_params if use_ema else self.params
         return self._jitted(
-            "sample_cond", build, shape, return_frames, mesh_cache_key(mesh), shard_axis
+            "sample_cond",
+            build,
+            shape,
+            return_frames,
+            mesh_cache_key(mesh),
+            shard_axis,
+            guidance_scale,
         )(params, labels, key)
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, key=None, label=None, **kwargs):

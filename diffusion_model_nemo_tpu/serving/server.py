@@ -19,6 +19,7 @@ Endpoints (stdlib http.server; zero extra dependencies):
   GET  /healthz          → {"status": "ok", ...} after warmup
   GET  /stats            → request/batch/latency counters
   POST /sample           → JSON {"num_images": N, "seed": S?, "label": L?,
+                                 "guidance_scale": W? (conditional models),
                            "format": "png"|"npy"} →
                            {"images": [b64-PNG, ...]} or raw .npy bytes
 """
@@ -45,6 +46,7 @@ class _Request:
     num_images: int
     seed: Optional[int]
     label: Optional[int]
+    guidance_scale: Optional[float] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -146,7 +148,10 @@ class BatchingSampler:
         seed: Optional[int] = None,
         label: Optional[int] = None,
         timeout: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
     ) -> np.ndarray:
+        if guidance_scale is not None and not hasattr(self.model, "_cfg_model_fn"):
+            raise ValueError("guidance_scale requires a class-conditional model")
         if num_images < 1:
             raise ValueError("num_images must be >= 1")
         if num_images > self.max_batch:
@@ -157,11 +162,15 @@ class BatchingSampler:
             while remaining > 0:
                 n = min(remaining, self.max_batch)
                 chunk_seed = None if seed is None else seed + chunk_idx
-                parts.append(self.submit(n, chunk_seed, label, timeout))
+                parts.append(
+                    self.submit(n, chunk_seed, label, timeout, guidance_scale)
+                )
                 remaining -= n
                 chunk_idx += 1
             return np.concatenate(parts, axis=0)
-        req = _Request(num_images=num_images, seed=seed, label=label)
+        req = _Request(
+            num_images=num_images, seed=seed, label=label, guidance_scale=guidance_scale
+        )
         with self._cv:
             self._queue.append(req)
             self._cv.notify_all()
@@ -178,7 +187,13 @@ class BatchingSampler:
         self._batch_counter += 1
         return jax.random.fold_in(self._base_key, self._batch_counter)
 
-    def _dispatch_sample(self, batch: int, key, label: Optional[int]):
+    def _dispatch_sample(
+        self,
+        batch: int,
+        key,
+        label: Optional[int],
+        guidance_scale: Optional[float] = None,
+    ):
         """Enqueue one device batch; returns the (async) device array.
 
         jax dispatch is asynchronous — materializing with np.asarray is
@@ -190,6 +205,10 @@ class BatchingSampler:
         kwargs = {}
         if label is not None:
             kwargs["label"] = int(label)
+        if guidance_scale is not None:
+            # Each distinct w is its own cached jit graph (the scale is baked
+            # into the scan); the first request at a new w pays a compile.
+            kwargs["guidance_scale"] = float(guidance_scale)
         if self.mesh is not None:
             kwargs["mesh"] = self.mesh
         out = self.model.sample(
@@ -216,7 +235,12 @@ class BatchingSampler:
         i = 0
         while i < len(self._queue):
             r = self._queue[i]
-            if r.seed is None and r.label == head.label and total + r.num_images <= self.max_batch:
+            if (
+                r.seed is None
+                and r.label == head.label
+                and r.guidance_scale == head.guidance_scale
+                and total + r.num_images <= self.max_batch
+            ):
                 group.append(self._queue.pop(i))
                 total += r.num_images
             else:
@@ -295,7 +319,9 @@ class BatchingSampler:
                     # Fixed-shape call: always max_batch; surplus dropped.
                     dispatched = (
                         group,
-                        self._dispatch_sample(self.max_batch, key, group[0].label),
+                        self._dispatch_sample(
+                            self.max_batch, key, group[0].label, group[0].guidance_scale
+                        ),
                         t0,
                     )
                 except Exception as e:
@@ -373,10 +399,12 @@ class SamplingServer:
                     n = int(payload.get("num_images", 1))
                     seed = payload.get("seed")
                     label = payload.get("label")
+                    guidance = payload.get("guidance_scale")
                     fmt = payload.get("format", "png")
                     timeout = float(payload.get("timeout", 600.0))
                     images = server.batcher.submit(
-                        n, seed=seed, label=label, timeout=timeout
+                        n, seed=seed, label=label, timeout=timeout,
+                        guidance_scale=guidance,
                     )
                     if fmt == "npy":
                         buf = io.BytesIO()

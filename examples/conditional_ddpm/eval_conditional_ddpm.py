@@ -25,6 +25,9 @@ class EvalConfig:
     batch_size: int = 32
     image_size: int = -1
     label: Optional[int] = None  # None = unconditional (null class)
+    # Classifier-free guidance weight (needs label): 1 ≈ conditional,
+    # >1 sharpens class adherence. None = plain conditional sampling.
+    guidance_scale: Optional[float] = None
 
     use_ddim_sampler: bool = True
     ddim_eta: float = 0.0
@@ -54,6 +57,7 @@ def main(cfg):
         image_size=image_size,
         key=jax.random.PRNGKey(cfg.seed or 0),
         label=cfg.label,
+        guidance_scale=cfg.guidance_scale,
     )
 
     out_dir = Path(cfg.output_dir)

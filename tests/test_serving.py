@@ -6,6 +6,7 @@ determinism, archive auto-restore, and the HTTP surface end-to-end.
 
 import json
 import threading
+from pathlib import Path
 import urllib.request
 
 import numpy as np
@@ -266,3 +267,28 @@ def test_serve_dpm_solver_swap(tmp_path):
         assert np.isfinite(out).all()
     finally:
         server.shutdown()
+
+
+def test_guidance_rejected_on_unconditional_model(batcher):
+    with pytest.raises(ValueError, match="conditional"):
+        batcher.submit(1, guidance_scale=2.0, timeout=30)
+
+
+def test_guided_serving_conditional_model():
+    """guidance_scale flows submit → coalescing (grouped by w) → sample()."""
+    from tests.test_cfg_guidance import make_model
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        model = make_model(Path(d))
+    b = BatchingSampler(model, image_size=IMG, max_batch=4, linger_ms=20.0,
+                        use_ema=False).start()
+    try:
+        plain = b.submit(2, seed=5, label=1, timeout=120)
+        guided = b.submit(2, seed=5, label=1, guidance_scale=3.0, timeout=120)
+        assert plain.shape == guided.shape == (2, IMG, IMG, 1)
+        assert not np.array_equal(plain, guided)
+        again = b.submit(2, seed=5, label=1, guidance_scale=3.0, timeout=120)
+        assert np.array_equal(guided, again)
+    finally:
+        b.stop()
