@@ -121,9 +121,17 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float, tpu_geometry: str
     }
 
 
-def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
+def _bench_training(
+    model, batch_size: int, steps: int = 50,
+    fwd_flops: float | None = None, peak: float | None = None,
+) -> dict:
     """Sustained full-train-step throughput (loss+grads+AdamW+EMA, donated
-    buffers) on the flagship model — the Trainer's device envelope."""
+    buffers) on the flagship model — the Trainer's device envelope.
+
+    When ``fwd_flops``/``peak`` are given, also reports ``mfu_est_pct`` using
+    the standard 3x-forward convention (backward ~= 2x forward) — estimated,
+    not XLA-counted, because the update graph includes Pallas custom calls
+    that report zero flops to cost analysis."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -177,7 +185,10 @@ def _bench_training(model, batch_size: int, steps: int = 50) -> dict:
         )
     metrics["train_loss"].block_until_ready()
     sec = (time.perf_counter() - t0) / steps
-    return {"sps": round(batch_size / sec, 1), "ms_per_step": round(sec * 1e3, 3)}
+    out = {"sps": round(batch_size / sec, 1), "ms_per_step": round(sec * 1e3, 3)}
+    if fwd_flops is not None and peak is not None:
+        out["mfu_est_pct"] = round(100.0 * 3.0 * fwd_flops / (sec * peak), 2)
+    return out
 
 
 def main() -> None:
@@ -319,7 +330,10 @@ def main() -> None:
                 "tpu_geometry": "s2d",
             }
             try:  # s2d training envelope (same full update as `train` below)
-                s2d["train"] = _bench_training(rs2d["model"], BATCH)
+                s2d["train"] = _bench_training(
+                    rs2d["model"], BATCH,
+                    fwd_flops=rs2d["flops_per_forward"], peak=peak,
+                )
             except Exception as e:
                 s2d["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         except Exception as e:
@@ -336,10 +350,20 @@ def main() -> None:
                 "mfu_pct": round(r128["mfu_pct"], 2),
                 "params": r128["params"],
             }
+            try:  # training MFU at realistic model scale
+                dim128["train"] = _bench_training(
+                    r128["model"], BATCH, steps=20,
+                    fwd_flops=r128["flops_per_forward"], peak=peak,
+                )
+            except Exception as e:
+                dim128["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         except Exception as e:  # report the primary metric regardless
             dim128 = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
-            train = _bench_training(r32["model"], BATCH)
+            train = _bench_training(
+                r32["model"], BATCH,
+                fwd_flops=r32["flops_per_forward"], peak=peak,
+            )
         except Exception as e:
             train = {"error": f"{type(e).__name__}: {e}"[:200]}
 

@@ -73,3 +73,42 @@ def test_guidance_composes_with_mesh(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(sharded), rtol=0, atol=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "sampler_target,extra",
+    [
+        (
+            "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion",
+            {"ddim_timesteps": 3, "eta": 0.0},
+        ),
+        (
+            "diffusion_model_nemo.modules.DPMSolverDiffusion",
+            {"solver_steps": 3, "solver_order": 2},
+        ),
+    ],
+)
+def test_guidance_composes_with_fast_samplers(tmp_path, sampler_target, extra):
+    """CFG is a model_fn wrapper, so it must compose with every sampler that
+    honors the p_sample_loop contract — DDIM and DPM-Solver++(2M) are the
+    production fast-sampling configurations (guided few-step sampling is the
+    standard serving recipe). w=1 collapses to plain conditional under the
+    SAME fast sampler; w=3 moves the samples."""
+    model = make_model(tmp_path)
+    model.change_sampler(
+        {
+            "_target_": sampler_target,
+            "timesteps": 5,
+            "schedule_name": "linear",
+            "class_conditional": True,
+            **extra,
+        }
+    )
+    key = jax.random.PRNGKey(7)
+    plain = model.sample(batch_size=4, image_size=IMG, key=key, label=1)
+    w1 = model.sample(batch_size=4, image_size=IMG, key=key, label=1, guidance_scale=1.0)
+    w3 = model.sample(batch_size=4, image_size=IMG, key=key, label=1, guidance_scale=3.0)
+    assert w1.shape == (4, IMG, IMG, 1)
+    assert np.isfinite(np.asarray(w3)).all()
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(w1), rtol=0, atol=1e-4)
+    assert np.abs(np.asarray(w1) - np.asarray(w3)).max() > 1e-6

@@ -67,12 +67,19 @@ def test_prefetcher_overlaps_production():
         def __len__(self):
             return 10
 
-    pf = ThreadedPrefetcher(L(), depth=4)
-    t0 = time.perf_counter()
-    for _ in pf:
-        time.sleep(0.02)
-    elapsed = time.perf_counter() - t0
-    assert elapsed < 0.36, f"no overlap: {elapsed:.3f}s"
+    # Best-of-3 guards against scheduler jitter on a loaded CI host: overlap
+    # is a property of the prefetcher, but any single run can be stretched by
+    # CPU contention from sibling test processes.
+    best = float("inf")
+    for _ in range(3):
+        pf = ThreadedPrefetcher(L(), depth=4)
+        t0 = time.perf_counter()
+        for _ in pf:
+            time.sleep(0.02)
+        best = min(best, time.perf_counter() - t0)
+        if best < 0.36:
+            break
+    assert best < 0.36, f"no overlap: {best:.3f}s"
 
 
 def test_prefetcher_propagates_errors():

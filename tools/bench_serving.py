@@ -5,7 +5,11 @@ queue → coalescing → fixed-shape device batch → per-request slices) with t
 DDIM fast sampler — the production serving configuration. Compare against
 bench.py's raw `ddim50` device number to see the serving overhead.
 
-Usage: python tools/bench_serving.py [max_batch] [ddim_steps] [n_requests] [images_per_request]
+Usage: python tools/bench_serving.py [max_batch] [ddim_steps] [n_requests] [images_per_request] [guidance_scale]
+
+A non-empty ``guidance_scale`` switches to a class-conditional flagship and
+submits every request with that CFG weight (one 2B-batched network call per
+step — expect ~half the unconditional device envelope).
 """
 
 import json
@@ -22,13 +26,17 @@ def main():
     ddim_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     n_requests = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     per_request = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    guidance = float(sys.argv[5]) if len(sys.argv) > 5 and sys.argv[5] else None
 
     import jax
 
     from __graft_entry__ import _flagship
     from diffusion_model_nemo_tpu.serving import BatchingSampler
 
-    model = _flagship(image_size=32, dim=32, dim_mults=(1, 2, 2, 2), timesteps=1000)
+    model = _flagship(
+        image_size=32, dim=32, dim_mults=(1, 2, 2, 2), timesteps=1000,
+        num_classes=10 if guidance is not None else None,
+    )
     model.init_params(jax.random.PRNGKey(0))
     model.change_sampler(
         {
@@ -51,7 +59,10 @@ def main():
 
     def client(i):
         try:
-            out = b.submit(per_request, timeout=1200)
+            kw = {}
+            if guidance is not None:
+                kw = {"label": i % 10, "guidance_scale": guidance}
+            out = b.submit(per_request, timeout=1200, **kw)
             assert out.shape[0] == per_request
         except Exception as e:
             errors.append(f"{type(e).__name__}: {e}")
@@ -76,6 +87,7 @@ def main():
         "stats": stats,
         "max_batch": max_batch,
         "ddim_steps": ddim_steps,
+        "guidance_scale": guidance,
     }))
 
 
