@@ -5,3 +5,4 @@ from .inception import (
     inception_feature_fn,
     load_inception_variables,
 )
+from .scores import inception_score, kernel_inception_distance, polynomial_kernel

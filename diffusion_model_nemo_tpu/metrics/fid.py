@@ -78,12 +78,32 @@ class FIDScorer:
     def update_generated(self, images: np.ndarray) -> None:
         self._fake.append(np.asarray(self.feature_fn(images)))
 
+    def update_real_features(self, features: np.ndarray) -> None:
+        """Accumulate pre-extracted features (e.g. from the combined
+        features+probs extractor, which runs the trunk once per image)."""
+        self._real.append(np.asarray(features))
+
+    def update_generated_features(self, features: np.ndarray) -> None:
+        self._fake.append(np.asarray(features))
+
     def compute(self) -> float:
         if not self._real or not self._fake:
             raise ValueError("Need both real and generated features")
         mu_r, sig_r = compute_statistics(np.concatenate(self._real))
         mu_f, sig_f = compute_statistics(np.concatenate(self._fake))
         return frechet_distance(mu_r, sig_r, mu_f, sig_f)
+
+    def compute_kid(self, subset_size=None, n_subsets: int = 100, seed: int = 0):
+        """KID (mean, std) over the accumulated feature sets — the unbiased
+        companion metric for small sample counts (metrics/scores.py)."""
+        from .scores import kernel_inception_distance
+
+        if not self._real or not self._fake:
+            raise ValueError("Need both real and generated features")
+        return kernel_inception_distance(
+            np.concatenate(self._real), np.concatenate(self._fake),
+            subset_size=subset_size, n_subsets=n_subsets, seed=seed,
+        )
 
     def reset(self) -> None:
         self._real.clear()

@@ -197,13 +197,18 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3(nn.Module):
-    """Inception v3 trunk → 2048-dim pool3 features (no FC/aux heads).
+    """Inception v3 trunk → 2048-dim pool3 features (no aux head).
 
     Input: float NHWC in [-1, 1] at 299×299 (use :meth:`preprocess`).
+    ``num_logits > 0`` adds the classifier head (torchvision ``fc``; 1000
+    classes for torchvision checkpoints, 1008 for the TF pt_inception one)
+    and makes ``__call__`` return ``(pool3, logits)`` — needed for the
+    Inception Score (metrics/scores.py). 0 keeps the FID-only trunk.
     """
 
     fid_variant: bool = True
     dtype: Any = jnp.float32
+    num_logits: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -229,7 +234,12 @@ class InceptionV3(nn.Module):
         x = InceptionE(
             pool_type="max" if fv else "avg", fid_variant=fv, name="Mixed_7c", **d
         )(x)
-        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool3 [B, 2048]
+        feats = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool3 [B, 2048]
+        if self.num_logits:
+            # torchvision applies Dropout before fc — identity in eval mode.
+            logits = nn.Dense(self.num_logits, dtype=jnp.float32, name="fc")(feats)
+            return feats, logits
+        return feats
 
     @staticmethod
     def preprocess(images: jnp.ndarray, size: int = 299) -> jnp.ndarray:
@@ -250,10 +260,16 @@ class InceptionV3(nn.Module):
 
 
 # --------------------------------------------------------------- weights ----
-def _torch_entry_to_flax(key: str, value: np.ndarray):
+def _torch_entry_to_flax(key: str, value: np.ndarray, keep_fc: bool = False):
     """One torch state_dict entry → (collection, path, array) or None."""
     parts = key.split(".")
-    if parts[0] in ("fc", "AuxLogits") or parts[-1] == "num_batches_tracked":
+    if parts[0] == "fc":
+        if not keep_fc:
+            return None
+        if parts[-1] == "weight":  # torch Linear [out, in] → flax [in, out]
+            return "params", ("fc", "kernel"), np.transpose(value, (1, 0))
+        return "params", ("fc", "bias"), np.asarray(value)
+    if parts[0] == "AuxLogits" or parts[-1] == "num_batches_tracked":
         return None
     leaf = parts[-1]
     owner = parts[-2]
@@ -270,12 +286,15 @@ def _torch_entry_to_flax(key: str, value: np.ndarray):
     raise KeyError(f"Unrecognized state_dict entry: {key}")
 
 
-def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def torch_state_dict_to_flax(
+    state_dict: Dict[str, np.ndarray], keep_fc: bool = False
+) -> Dict[str, Any]:
     """torchvision/pytorch-fid InceptionV3 state_dict → flax variables
-    {'params': ..., 'batch_stats': ...} (OIHW → HWIO; heads dropped)."""
+    {'params': ..., 'batch_stats': ...} (OIHW → HWIO; aux head dropped;
+    the fc classifier kept only with ``keep_fc`` — Inception Score path)."""
     out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
-        entry = _torch_entry_to_flax(key, np.asarray(value))
+        entry = _torch_entry_to_flax(key, np.asarray(value), keep_fc=keep_fc)
         if entry is None:
             continue
         coll, path, arr = entry
@@ -296,7 +315,9 @@ def flax_to_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]
                 walk(v, path + (k,), coll)
                 continue
             arr = np.asarray(v)
-            if k == "kernel":  # path ends with "conv"
+            if k == "kernel" and arr.ndim == 2:  # fc head: [in, out] → [out, in]
+                sd[".".join(path) + ".weight"] = np.transpose(arr, (1, 0))
+            elif k == "kernel":  # path ends with "conv"
                 sd[".".join(path) + ".weight"] = np.transpose(arr, (3, 2, 0, 1))
             elif coll == "params":  # path ends with "bn"
                 sd[".".join(path) + "." + {"scale": "weight", "bias": "bias"}[k]] = arr
@@ -308,7 +329,7 @@ def flax_to_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]
     return sd
 
 
-def load_inception_variables(weights_path: str) -> Dict[str, Any]:
+def load_inception_variables(weights_path: str, keep_fc: bool = False) -> Dict[str, Any]:
     """Load extractor weights from a local file: a torch checkpoint
     (``.pt/.pth/.bin``: a state_dict, or a dict holding one under
     'state_dict') or a flat ``.npz`` with torch-style keys."""
@@ -324,7 +345,7 @@ def load_inception_variables(weights_path: str) -> Dict[str, Any]:
         if isinstance(obj, dict) and "state_dict" in obj:
             obj = obj["state_dict"]
         sd = {k: v.numpy() for k, v in obj.items()}
-    return torch_state_dict_to_flax(sd)
+    return torch_state_dict_to_flax(sd, keep_fc=keep_fc)
 
 
 def inception_feature_fn(
@@ -332,6 +353,7 @@ def inception_feature_fn(
     batch_size: int = 64,
     fid_variant: bool = True,
     dtype: Any = jnp.float32,
+    with_logits: bool = False,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Build ``feature_fn(images) -> [N, 2048]`` for :class:`FIDScorer`.
 
@@ -339,12 +361,28 @@ def inception_feature_fn(
     seeded random weights (relative regression metric only) and the returned
     function carries ``using_random_weights=True`` so callers can label
     output honestly.
+
+    ``with_logits=True`` adds the classifier head (one trunk pass serves
+    both FID features and Inception-Score posteriors) and the function
+    returns ``(features [N, 2048], probs [N, K])`` instead.
     """
-    model = InceptionV3(fid_variant=fid_variant, dtype=dtype)
+    num_logits = 0
+    if with_logits:
+        num_logits = 1000  # torchvision head; overridden by checkpoint shape
     if weights_path:
-        variables = load_inception_variables(weights_path)
+        variables = load_inception_variables(weights_path, keep_fc=with_logits)
+        if with_logits:
+            fc = variables["params"].get("fc")
+            if fc is None:
+                raise ValueError(
+                    f"with_logits=True but {weights_path} has no fc head "
+                    "(Inception Score needs a classifier checkpoint)"
+                )
+            num_logits = int(fc["kernel"].shape[1])
         random_weights = False
+        model = InceptionV3(fid_variant=fid_variant, dtype=dtype, num_logits=num_logits)
     else:
+        model = InceptionV3(fid_variant=fid_variant, dtype=dtype, num_logits=num_logits)
         logging.warning(
             "No Inception weights provided (feature_weights_path unset): using "
             "SEEDED RANDOM weights. The resulting Fréchet distance is a valid "
@@ -365,16 +403,34 @@ def inception_feature_fn(
         )
         random_weights = True
 
-    apply = jax.jit(lambda v, x: model.apply(v, InceptionV3.preprocess(x)))
+    if with_logits:
+        apply = jax.jit(
+            lambda v, x: (lambda fl: (fl[0], jax.nn.softmax(fl[1], axis=-1)))(
+                model.apply(v, InceptionV3.preprocess(x))
+            )
+        )
 
-    def feature_fn(images: np.ndarray) -> np.ndarray:
-        images = np.asarray(images)
-        feats = []
-        for i in range(0, images.shape[0], batch_size):
-            chunk = images[i : i + batch_size]
-            feats.append(np.asarray(apply(variables, chunk)))
-        return np.concatenate(feats, axis=0)
+        def feature_fn(images: np.ndarray):
+            images = np.asarray(images)
+            feats, probs = [], []
+            for i in range(0, images.shape[0], batch_size):
+                f, p = apply(variables, images[i : i + batch_size])
+                feats.append(np.asarray(f))
+                probs.append(np.asarray(p))
+            return np.concatenate(feats, axis=0), np.concatenate(probs, axis=0)
+
+    else:
+        apply = jax.jit(lambda v, x: model.apply(v, InceptionV3.preprocess(x)))
+
+        def feature_fn(images: np.ndarray) -> np.ndarray:
+            images = np.asarray(images)
+            feats = []
+            for i in range(0, images.shape[0], batch_size):
+                chunk = images[i : i + batch_size]
+                feats.append(np.asarray(apply(variables, chunk)))
+            return np.concatenate(feats, axis=0)
 
     feature_fn.using_random_weights = random_weights
     feature_fn.feature_dim = INCEPTION_FEATURE_DIM
+    feature_fn.num_logits = num_logits
     return feature_fn

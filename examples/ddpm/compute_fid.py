@@ -44,6 +44,13 @@ class FIDConfig:
     feature_weights_path: Optional[str] = None
     # 'inception' (default) or 'pixels' (the old weight-free moments fallback)
     feature_extractor: str = "inception"
+    # Companion metrics (metrics/scores.py): KID (unbiased MMD² on the same
+    # pool3 features) and Inception Score (needs the extractor's fc head —
+    # present in torchvision / pytorch-fid checkpoints).
+    compute_kid: bool = False
+    kid_subset_size: Optional[int] = None  # default min(N, M, 1000)
+    compute_is: bool = False
+    is_splits: int = 10
 
 
 @hydra_runner(config_path=None, config_name="FIDConfig", schema=FIDConfig)
@@ -63,11 +70,16 @@ def main(cfg):
         ds_cfg["path"] = cfg.dataset_path
     dl = build_dataloader(ds_cfg, mode="test")
 
+    if cfg.compute_is and cfg.feature_extractor != "inception":
+        raise ValueError("compute_is requires feature_extractor=inception")
     if cfg.feature_extractor == "inception":
         from diffusion_model_nemo_tpu.metrics import inception_feature_fn
 
+        # with_logits shares one trunk pass between FID features and IS probs
         feature_fn = inception_feature_fn(
-            weights_path=cfg.feature_weights_path, batch_size=cfg.batch_size
+            weights_path=cfg.feature_weights_path,
+            batch_size=cfg.batch_size,
+            with_logits=cfg.compute_is,
         )
         label = (
             "InceptionV3-pool3 (standard FID)"
@@ -78,28 +90,49 @@ def main(cfg):
         feature_fn, label = None, "pixel moments (relative metric only)"
     logging.info(f"FID feature extractor: {label}")
 
-    scorer = FIDScorer(feature_fn=feature_fn)
+    def extract(images):
+        """→ (features, probs-or-None) regardless of extractor flavor."""
+        if feature_fn is None:
+            from diffusion_model_nemo_tpu.metrics.fid import default_feature_fn
+
+            return default_feature_fn(images), None
+        out = feature_fn(images)
+        return out if cfg.compute_is else (out, None)
+
+    scorer = FIDScorer(feature_fn=None)
     seen = 0
     for batch in dl:
-        scorer.update_real(batch["image"])
+        scorer.update_real_features(extract(batch["image"])[0])
         seen += batch["image"].shape[0]
         if seen >= cfg.num_samples:
             break
 
     key = jax.random.PRNGKey(cfg.seed)
     generated = 0
+    gen_probs = []
     while generated < cfg.num_samples:
         key, sub = jax.random.split(key)
         imgs = model.sample(
             batch_size=cfg.batch_size, image_size=int(model.image_size), key=sub
         )
-        scorer.update_generated(to_uint8(np.asarray(imgs)))
+        feats, probs = extract(to_uint8(np.asarray(imgs)))
+        scorer.update_generated_features(feats)
+        if probs is not None:
+            gen_probs.append(probs)
         generated += cfg.batch_size
         logging.info(f"generated {generated}/{cfg.num_samples}")
 
     fid = scorer.compute()
     logging.info(f"FID [{label}] ({generated} generated vs {seen} real): {fid:.4f}")
     print(f"FID: {fid:.4f} [{label}]")
+    if cfg.compute_kid:
+        kid_mean, kid_std = scorer.compute_kid(subset_size=cfg.kid_subset_size)
+        print(f"KID: {kid_mean:.6f} +/- {kid_std:.6f} [{label}]")
+    if cfg.compute_is:
+        from diffusion_model_nemo_tpu.metrics import inception_score
+
+        is_mean, is_std = inception_score(np.concatenate(gen_probs), splits=cfg.is_splits)
+        print(f"IS: {is_mean:.4f} +/- {is_std:.4f} [{label}]")
 
 
 if __name__ == "__main__":

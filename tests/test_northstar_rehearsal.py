@@ -94,11 +94,20 @@ def test_file_train_then_fid_rehearsal(tmp_path, image_dir):
         "batch_size=16",
         "use_ddim_sampler=true",
         "ddim_timesteps=5",
+        "compute_kid=true",
+        "compute_is=true",
+        "is_splits=2",
     )
     m = re.search(r"FID: ([0-9.]+) \[(.*)\]", proc.stdout)
     assert m, f"no FID line in output:\n{proc.stdout[-2000:]}"
     fid_gen = float(m.group(1))
     assert "RANDOM weights" in m.group(2), "extractor label must disclose weights"
+    # companion metrics ride the same trunk pass (metrics/scores.py)
+    mk = re.search(r"KID: (-?[0-9.]+) \+/- ([0-9.]+)", proc.stdout)
+    assert mk, f"no KID line in output:\n{proc.stdout[-2000:]}"
+    mi = re.search(r"IS: ([0-9.]+) \+/- ([0-9.]+)", proc.stdout)
+    assert mi, f"no IS line in output:\n{proc.stdout[-2000:]}"
+    assert float(mi.group(1)) >= 1.0, "IS is bounded below by 1"
 
     # FID(real, real) with the same extractor — must be ~0 and strictly below
     # the 3-step-trained model's FID.
