@@ -21,6 +21,7 @@ NCHW.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -36,6 +37,17 @@ __all__ = ["AbstractDiffusionProcess", "ModelFn"]
 
 # model_fn(params, x_t, t_or_noise_level) -> network output
 ModelFn = Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the reverse-chain scans (DMN_SAMPLE_SCAN_UNROLL,
+    default 1). Unrolling lets XLA overlap one step's elementwise tail with
+    the next step's network head at the cost of an N×-longer program; it is
+    numerically identical (bitwise on the ancestral chain; compiler-rounding
+    reassociation ~1e-8 on DDIM), so it is a pure perf knob (tools/microbench_unroll.py).
+    Read at trace time — a changed env var invalidates nothing by itself;
+    re-jit (fresh process or cache key) to take effect."""
+    return max(1, int(os.environ.get("DMN_SAMPLE_SCAN_UNROLL", "1")))
 
 
 class AbstractDiffusionProcess:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config.registry import register_target
 from ..ops.schedules import extract
-from .diffusion_process import AbstractDiffusionProcess, ModelFn
+from .diffusion_process import AbstractDiffusionProcess, ModelFn, _scan_unroll
 
 __all__ = ["GaussianDiffusion", "PMeanVariance"]
 
@@ -201,7 +201,7 @@ class GaussianDiffusion(AbstractDiffusionProcess):
             return (x, k), y
 
         (flat, _), frames = jax.lax.scan(
-            step, (img.reshape(B, -1), key), ts
+            step, (img.reshape(B, -1), key), ts, unroll=_scan_unroll()
         )
         img = flat.reshape(shape)
         out = (img + 1.0) * 0.5 if unnormalize else img

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config.registry import register_target
 from ..ops.schedules import extract
-from .diffusion_process import ModelFn
+from .diffusion_process import ModelFn, _scan_unroll
 from .gaussian_diffusion import GaussianDiffusion, PMeanVariance, batched_t
 
 __all__ = ["GeneralizedGaussianDiffusion"]
@@ -153,7 +153,9 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
             y = (x + 1.0) * 0.5 if return_frames else None
             return (x, k), y
 
-        (flat, _), frames = jax.lax.scan(step, (img.reshape(B, -1), key), (ts, ts_next))
+        (flat, _), frames = jax.lax.scan(
+            step, (img.reshape(B, -1), key), (ts, ts_next), unroll=_scan_unroll()
+        )
         img = flat.reshape(shape)
         out = (img + 1.0) * 0.5 if unnormalize else img
         if return_frames:
