@@ -427,10 +427,34 @@ class SelfAttentionBlock(nn.Module):
     def __call__(self, x):
         import os
 
+        from ..ops.attention import use_packed_linattn_block
+
+        B, H, W, C = x.shape
+        if self.linear and use_packed_linattn_block(
+            (B, H * W, C), jnp.dtype(self.dtype), self.heads, self.dim_head
+        ):
+            # Packed-lane whole-block kernel (ops/attention.py v5): the
+            # dominant TPU route for the flagship's C=32/64 levels — both
+            # XLA<->Pallas repack copies run unpadded and the prenorm,
+            # projections, out-norm, and residual ride in VMEM. Fires only
+            # when the Pallas dispatch holds, so the composed path below
+            # (and its f32/CPU numerics) is untouched by default elsewhere.
+            from ..ops.attention import fused_linear_attention_block_packed
+
+            ng, nb = _GNParams(C, name="norm")()
+            w_qkv, w_out, b_out, og, ob = _LinAttnParams(
+                C, self.heads, self.dim_head, name="attn"
+            )()
+            out = fused_linear_attention_block_packed(
+                x.reshape(B, H * W, C).astype(self.dtype),
+                ng, nb, w_qkv[0, 0], w_out[0, 0], b_out, og, ob,
+                self.heads, self.dim_head, self.dim_head**-0.5, 1e-5,
+            )
+            return out.reshape(B, H, W, C).astype(x.dtype)
+
         if self.linear and os.environ.get("DMN_TPU_PALLAS_LINATTN_BLOCK") == "1":
             from ..ops.attention import fused_linear_attention_block
 
-            B, H, W, C = x.shape
             ng, nb = _GNParams(C, name="norm")()
             w_qkv, w_out, b_out, og, ob = _LinAttnParams(
                 C, self.heads, self.dim_head, name="attn"

@@ -26,6 +26,8 @@ __all__ = [
     "linear_attention_qkv_reference",
     "fused_linear_attention_block",
     "linear_attention_block_reference",
+    "fused_linear_attention_block_packed",
+    "use_packed_linattn_block",
 ]
 
 _MAX_PALLAS_TOKENS = 4096
@@ -796,3 +798,272 @@ def _linattn_tokens_bwd(heads, dim_head, scale, res, g):
 
 
 fused_linear_attention_tokens.defvjp(_linattn_tokens_fwd, _linattn_tokens_bwd)
+
+
+# ----------------- packed-lane fused linear-attention BLOCK (kernel v5) ------
+#
+# Why another block kernel: at the flagship's level-0 shape the whole U-Net
+# graph is laid out BATCH-minor by XLA (B=128 fills the 128 lanes; convs and
+# norms love it), while Pallas custom calls require row-major C-minor
+# operands. Every kernel therefore pays an XLA repack copy on the way in —
+# and because C=32 < 128 lanes, the repacked [B, N, C] tile pads lanes 4x:
+# the copy writes 33.6 MB for an 8.4 MB tensor and the kernel reads the
+# padded bytes back (copy.322 = 104 us/step + part of attn.35's 179 us in
+# the sampler profile). Mosaic cannot relayout lanes->sublanes in-kernel
+# (vector reshape [G,N*C/128,128]->[G*N,C] is rejected), so the fix is to
+# keep the PACKED view [B, N*C/128, 128] end to end: J = 128/C consecutive
+# tokens per 128-lane row, q/k/v features of token j at lane offset j*3hd —
+# every internal slice lands on a 128-lane boundary, and the projections
+# become block-diagonal weights (J copies of W) so the matmuls contract over
+# the full 128-lane row (K=128, vs K=C=32 in the v3 kernel). The prenorm
+# affine folds into the qkv weight (h@W = xn@(gamma*W) + beta@W), so the
+# kernel's norm stage is pure per-sample scalar math. Both repack copies
+# shrink to unpadded 8.4 MB->8.4 MB, and the prenorm stats, out projection,
+# out norm, and residual all ride along in VMEM.
+def _packed_block_weights(
+    norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta, j: int
+):
+    """J-token block-diagonal/tiled params for the packed kernel. All are
+    functions of parameters only — XLA hoists them out of the sampling scan
+    (one construction per compiled call, not per step)."""
+    wq = norm_gamma.astype(jnp.float32)[:, None] * w_qkv.astype(jnp.float32)
+    wq4 = jax.scipy.linalg.block_diag(*([wq] * j))  # [J*C, J*3hd]
+    bq4 = jnp.tile(norm_beta.astype(jnp.float32) @ w_qkv.astype(jnp.float32), j)
+    wo4 = jax.scipy.linalg.block_diag(*([w_out.astype(jnp.float32)] * j))  # [J*hd, J*C]
+    bo4 = jnp.tile(b_out.astype(jnp.float32), j)
+    og4 = jnp.tile(out_gamma.astype(jnp.float32), j)
+    ob4 = jnp.tile(out_beta.astype(jnp.float32), j)
+    return wq4, bq4, wo4, bo4, og4, ob4
+
+
+def _linattn_block_packed_kernel(
+    x_ref, wq4_ref, bq4_ref, wo4_ref, bo4_ref, og4_ref, ob4_ref, o_ref,
+    *, heads: int, dim_head: int, scale: float, eps: float,
+    n_tokens: int, channels: int,
+):
+    """Whole Residual(PreNorm(LinearAttention)) block on the packed view.
+
+    Blocks are [G, R, 128] with R = N*C/128; row r of sample g holds tokens
+    J*r..J*r+J-1, token slot j at lanes [j*C, (j+1)*C). After the qkv matmul
+    rows hold J tokens' qkv at lane offsets j*3hd (3hd = 384 = 3 lane
+    tiles), so every slice below is 128-aligned. Seam dtypes mirror the XLA
+    composition: f32 norms/softmaxes, bf16 matmul operands, f32 accumulate.
+    """
+    G, R, L = x_ref.shape
+    hd = heads * dim_head
+    S = 3 * hd
+    J = L // channels
+    n_elems = n_tokens * channels
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    mask = (ri == ci).astype(jnp.float32)
+
+    xf = x_ref[...].reshape(G * R, L).astype(jnp.float32)
+    h_slabs = []
+    for g in range(G):
+        sl = xf[g * R : (g + 1) * R]
+        mean = jnp.sum(sl) / n_elems
+        mean2 = jnp.sum(sl * sl) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        h_slabs.append((sl - mean) * jax.lax.rsqrt(var + eps))
+    h = (jnp.concatenate(h_slabs, axis=0) if G > 1 else h_slabs[0]).astype(o_ref.dtype)
+
+    qkv = jax.lax.dot_general(
+        h, wq4_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq4_ref[0]  # [G*R, J*S] f32
+
+    # q softmax per token over its hd lanes (per-head denominators via the
+    # block-diagonal ones matmul; row max is a per-token constant -> exact).
+    qsm = []
+    for j in range(J):
+        qj = qkv[:, j * S : j * S + hd]
+        qe = jnp.exp(qj - jnp.max(qj, axis=1, keepdims=True))
+        den = jax.lax.dot_general(
+            qe, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        qsm.append((qe / den * scale).astype(o_ref.dtype))
+
+    att_slabs = []
+    for g in range(G):
+        lo, hi = g * R, (g + 1) * R
+        km = None  # k max over all N tokens: rows AND token slots
+        for j in range(J):
+            kj = qkv[lo:hi, j * S + hd : j * S + 2 * hd]
+            m = jnp.max(kj, axis=0, keepdims=True)
+            km = m if km is None else jnp.maximum(km, m)
+        kes, ssum = [], None
+        for j in range(J):
+            kj = qkv[lo:hi, j * S + hd : j * S + 2 * hd]
+            ke = jnp.exp(kj - km)
+            kes.append(ke)
+            s = jnp.sum(ke, axis=0, keepdims=True)
+            ssum = s if ssum is None else ssum + s
+        # One K=N gram matmul per sample: row-concat the J token slots
+        # instead of summing J separate K=R dots (J tiny dots serialize the
+        # MXU at small R; the concat is a supported sublane-merge).
+        ksm_cat = jnp.concatenate(
+            [(kes[j] / ssum).astype(o_ref.dtype) for j in range(J)], axis=0
+        ) if J > 1 else (kes[0] / ssum).astype(o_ref.dtype)
+        v_cat = jnp.concatenate(
+            [
+                qkv[lo:hi, j * S + 2 * hd : j * S + 3 * hd].astype(o_ref.dtype)
+                for j in range(J)
+            ],
+            axis=0,
+        ) if J > 1 else qkv[lo:hi, 2 * hd : 3 * hd].astype(o_ref.dtype)
+        gram = jax.lax.dot_general(
+            ksm_cat, v_cat, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        gram = (gram * mask).astype(o_ref.dtype)
+        outs = [
+            jax.lax.dot_general(
+                qsm[j][lo:hi], gram, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+            for j in range(J)
+        ]
+        att_slabs.append(jnp.concatenate(outs, axis=1) if J > 1 else outs[0])
+    att = jnp.concatenate(att_slabs, axis=0) if G > 1 else att_slabs[0]  # [G*R, J*hd]
+
+    y = jax.lax.dot_general(
+        att, wo4_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo4_ref[0]  # [G*R, L] f32
+
+    og = og4_ref[0]
+    ob = ob4_ref[0]
+    for g in range(G):
+        sl = y[g * R : (g + 1) * R]
+        mean = jnp.sum(sl) / n_elems
+        mean2 = jnp.sum(sl * sl) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        out = ((sl - mean) * jax.lax.rsqrt(var + eps)) * og + ob
+        o_ref[g] = (out + xf[g * R : (g + 1) * R]).astype(o_ref.dtype)
+
+
+def _pallas_linattn_block_packed(
+    x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps, interpret=False
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    hd = heads * dim_head
+    J = 128 // C
+    R = (N * C) // 128
+    wq4, bq4, wo4, bo4, og4, ob4 = _packed_block_weights(
+        ng, nb, wqkv, wout, bout, og, ob, J
+    )
+    # Per-sample working set: f32 qkv [N,3hd] dominates, plus f32 x/y slabs,
+    # bf16 h/qsm/att, and the J per-sample k-softmax buffers. Weights
+    # (~1 MB) stay resident across grid steps.
+    per_sample = N * (3 * hd * 4 + 2 * C * 4 + 2 * hd * 4 + 3 * hd * 2 + C * 2)
+    block_g = max(min(B, (12 * 1024 * 1024) // max(per_sample, 1)), 1)
+    while B % block_g:
+        block_g -= 1
+
+    kernel = functools.partial(
+        _linattn_block_packed_kernel, heads=heads, dim_head=dim_head,
+        scale=scale, eps=eps, n_tokens=N, channels=C,
+    )
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((block_g, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, R, 128), x.dtype),
+        grid=(B // block_g,),
+        in_specs=[
+            blk,
+            mat(128, J * 3 * hd), row(J * 3 * hd),
+            mat(J * hd, 128), row(128),
+            row(128), row(128),
+        ],
+        out_specs=blk,
+        interpret=interpret,
+    )(
+        x.reshape(B, R, 128),
+        wq4, bq4.reshape(1, -1), wo4, bo4.reshape(1, -1),
+        og4.reshape(1, -1), ob4.reshape(1, -1),
+    )
+    return out.reshape(B, N, C)
+
+
+def use_packed_linattn_block(shape, dtype, heads: int, dim_head: int) -> bool:
+    """v5 dispatch: packed-lane whole-block kernel. Auto-on on TPU for bf16
+    inputs whose channel count divides the 128-lane tile (the flagship's
+    C=32/64 levels) — these are exactly the shapes where the C-minor repack
+    pads lanes and the v3 route pays for it. Opt-out: DMN_TPU_PALLAS_LINATTN=0
+    (all linattn kernels) or DMN_TPU_PALLAS_LINATTN_PACKED=0 (just this one).
+    """
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_LINATTN") == "0":
+        return False
+    if os.environ.get("DMN_TPU_PALLAS_LINATTN_PACKED") == "0":
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return os.environ.get("DMN_TPU_PALLAS_LINATTN") == "interpret"
+    B, N, C = shape
+    hd = heads * dim_head
+    return (
+        hd % 128 == 0
+        and C <= 128
+        and 128 % C == 0
+        and (N * C) % 128 == 0
+        # Measured on v5e (B=128): the packed route wins where the repack
+        # copies are large and the per-sample slabs keep the MXU fed
+        # (R = N*C/128 >= 64: 250+12 us vs 104+179 at [1024,32]); at
+        # [64,64] (R=32) the J-split slices and small-M dots make it 2.4x
+        # slower than the v3 qkv-fused route, which stays the dispatch.
+        and (N * C) // 128 >= 64
+        and _MIN_PALLAS_TOKENS <= N <= _MAX_PALLAS_TOKENS
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_linear_attention_block_packed(
+    x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+    heads: int, dim_head: int, scale: float, eps: float = 1e-5,
+):
+    """Packed-lane Residual(PreNorm(LinearAttention)) block on [B, N, C].
+
+    Pallas on TPU when `use_packed_linattn_block` holds (callers check it
+    first so the f32/CPU module path stays bit-identical); XLA
+    module-equivalent composition otherwise. Reverse mode recomputes through
+    the XLA path (custom_vjp — do not jvp). The prenorm affine is folded
+    into the qkv projection, so the forward rounds (x-mu)*rstd to bf16
+    before gamma/beta instead of after — covered by the kernel tolerance
+    tests like the other bf16 seams."""
+    if use_packed_linattn_block(x.shape, x.dtype, heads, dim_head):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_linattn_block_packed(
+            x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+            heads, dim_head, scale, eps, interpret=interpret,
+        )
+    return linear_attention_block_reference(
+        x, norm_gamma, norm_beta, w_qkv, w_out, b_out, out_gamma, out_beta,
+        heads, dim_head, scale, eps,
+    )
+
+
+def _linattn_packed_fwd(x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps):
+    out = fused_linear_attention_block_packed(
+        x, ng, nb, wqkv, wout, bout, og, ob, heads, dim_head, scale, eps
+    )
+    return out, (x, ng, nb, wqkv, wout, bout, og, ob)
+
+
+def _linattn_packed_bwd(heads, dim_head, scale, eps, res, g):
+    x, ng, nb, wqkv, wout, bout, og, ob = res
+    _, vjp = jax.vjp(
+        lambda *a: linear_attention_block_reference(*a, heads, dim_head, scale, eps),
+        x, ng, nb, wqkv, wout, bout, og, ob,
+    )
+    return vjp(g)
+
+
+fused_linear_attention_block_packed.defvjp(_linattn_packed_fwd, _linattn_packed_bwd)

@@ -39,11 +39,22 @@ def group_norm_silu_reference(
 
     ``x`` is NHWC; gamma/beta are [C]; scale/shift broadcastable to x.
     Matches torch GroupNorm numerics (biased variance, eps inside sqrt).
+
+    Stats use the one-pass form ``E[x²] − E[x]²`` (flax `_compute_stats`
+    fast-variance, clipped at zero) rather than the two-pass
+    ``E[(x−μ)²]``: the two reduces are then independent siblings over the
+    same operand, so XLA multi-output-fuses them into ONE read of x —
+    the two-pass form's second reduce depends on the first and forces a
+    second full pass. On the v5e sampling profile the GN stat reductions
+    were the largest per-step cost category, so the saved pass matters;
+    in float32 the two forms agree far inside the 5e-5 torch-parity
+    tolerance at these magnitudes.
     """
     B, H, W, C = x.shape
     xg = x.reshape(B, H * W, groups, C // groups).astype(jnp.float32)
     mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(xg * xg, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
     xn = (xg - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(B, H, W, C)
     out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
