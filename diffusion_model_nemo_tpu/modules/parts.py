@@ -381,6 +381,21 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+class _AttnParams(nn.Module):
+    """Declares ``Attention``'s parameter tree (to_qkv/to_out) for fused ops."""
+
+    dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self):
+        hidden = self.heads * self.dim_head
+        w_qkv, _ = _Conv1x1Params(self.dim, hidden * 3, use_bias=False, name="to_qkv")()
+        w_out, b_out = _Conv1x1Params(hidden, self.dim, name="to_out")()
+        return w_qkv, w_out, b_out
+
+
 class _LinAttnParams(nn.Module):
     """Declares ``LinearAttention``'s parameter tree (to_qkv/to_out/out_norm)."""
 
@@ -451,6 +466,29 @@ class SelfAttentionBlock(nn.Module):
                 self.heads, self.dim_head, self.dim_head**-0.5, 1e-5,
             )
             return out.reshape(B, H, W, C).astype(x.dtype)
+
+        if not self.linear:
+            from ..ops.attention import use_small_attn_block
+
+            if use_small_attn_block(
+                (B, H * W, C), jnp.dtype(self.dtype), self.heads, self.dim_head
+            ):
+                # Fused bottleneck-attention block (ops/attention.py): the
+                # XLA per-head einsums at N=16 are ~77 us/step of layout
+                # copies on v5e; the kernel expresses the head structure
+                # with stacked masked operands instead.
+                from ..ops.attention import fused_attention_block_small
+
+                ng, nb = _GNParams(C, name="norm")()
+                w_qkv, w_out, b_out = _AttnParams(
+                    C, self.heads, self.dim_head, name="attn"
+                )()
+                out = fused_attention_block_small(
+                    x.reshape(B, H * W, C).astype(self.dtype),
+                    ng, nb, w_qkv[0, 0], w_out[0, 0], b_out,
+                    self.heads, self.dim_head, self.dim_head**-0.5, 1e-5,
+                )
+                return out.reshape(B, H, W, C).astype(x.dtype)
 
         if self.linear and os.environ.get("DMN_TPU_PALLAS_LINATTN_BLOCK") == "1":
             from ..ops.attention import fused_linear_attention_block

@@ -28,6 +28,9 @@ __all__ = [
     "linear_attention_block_reference",
     "fused_linear_attention_block_packed",
     "use_packed_linattn_block",
+    "attention_block_reference",
+    "fused_attention_block_small",
+    "use_small_attn_block",
 ]
 
 _MAX_PALLAS_TOKENS = 4096
@@ -1067,3 +1070,237 @@ def _linattn_packed_bwd(heads, dim_head, scale, eps, res, g):
 
 
 fused_linear_attention_block_packed.defvjp(_linattn_packed_fwd, _linattn_packed_bwd)
+
+
+# ------------------------- fused FULL-attention block (bottleneck, small N) --
+def attention_block_reference(
+    x: jnp.ndarray,
+    norm_gamma: jnp.ndarray,
+    norm_beta: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """XLA path for ``Residual(PreNorm(Attention))`` on [B, N, C]: GroupNorm(1)
+    -> qkv matmul -> max-subtracted softmax attention -> out matmul + bias ->
+    + x. Exactly the module composition in parts.py:SelfAttentionBlock
+    (linear=False), same casts at each seam."""
+    B, N, C = x.shape
+    hd = heads * dim_head
+    h = _gn1(x, norm_gamma, norm_beta, eps)
+    qkv = jnp.dot(h, w_qkv.astype(h.dtype)).reshape(B, N, 3, heads, dim_head)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    out = attention_reference(q * scale, k, v)
+    out = out.astype(x.dtype).reshape(B, N, hd)
+    out = jnp.dot(out, w_out.astype(x.dtype)) + b_out.astype(x.dtype)
+    return out + x
+
+
+def _attn_block_small_kernel(
+    x_ref, wq_ref, bq_ref, wo_ref, bo_ref, kvm_ref, sm_ref, grp_ref, o_ref,
+    *, heads: int, dim_head: int, scale: float, eps: float,
+):
+    """Whole bottleneck attention block, G samples per grid step.
+
+    The XLA composition at the mid-block's [128, 16, 4, 32] shapes spends
+    ~77 us/step almost entirely in layout copies and a 33 us qk^T "dot"
+    fusion (4 MFLOP!) — the per-head einsums force batch-minor<->head-major
+    transposes of tiny tensors 1000 times per chain. Here the per-head AND
+    per-sample structure is expressed with STACKED masked operands so every
+    matmul batches over all G samples (per-sample loops would serialize
+    2*G tiny MXU dots) and no reshape ever crosses lanes:
+
+        KV_stack[(g, h, j), d] = k_g[j, d] * (d in head h)   [G*heads*N, hd]
+        S[(g, i), (g', h, j)] = q_g[i] . KV_stack * scale     (cross-sample
+            columns masked to -1e9 before the row max, so their exp is 0)
+        P = exp(S - rowmax(S)) / (P @ samehead-samesample-mask)
+        out[(g, i)] = P[(g, i)] @ V_stack                     (cross-sample
+            P entries are exactly 0)
+
+    The G^2 score block is tiny (G*N x G*heads*N) and rides the otherwise
+    idle MXU. The prenorm affine is folded into the qkv weight; out
+    projection + bias and the residual ride along. f32 softmax, bf16 MXU
+    operands, f32 accumulation — same seams as the composed path."""
+    G, N, C = x_ref.shape
+    hd = heads * dim_head
+    n_elems = N * C
+    HN = heads * N
+    GHN = G * HN
+    # masks arrive as operands: building the [GHN, GHN] iota-compare mask
+    # in-kernel cost ~33 us/step (recomputed every grid step); as operands
+    # XLA folds them to constants and the constant-index blocks are fetched
+    # to VMEM once per call.
+    kv_mask = kvm_ref[...]  # [GHN, hd] f32 0/1
+    s_mask = sm_ref[...]  # [G*N, GHN] f32
+    group = grp_ref[...]  # [GHN, GHN] f32 0/1
+
+    xf = x_ref[...].reshape(G * N, C).astype(jnp.float32)
+    h_slabs = []
+    for g in range(G):
+        sl = xf[g * N : (g + 1) * N]
+        mean = jnp.sum(sl) / n_elems
+        mean2 = jnp.sum(sl * sl) / n_elems
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        h_slabs.append((sl - mean) * jax.lax.rsqrt(var + eps))
+    h = (jnp.concatenate(h_slabs, axis=0) if G > 1 else h_slabs[0]).astype(o_ref.dtype)
+
+    qkv = jax.lax.dot_general(
+        h, wq_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0]  # [G*N, 3hd] f32
+
+    q_all = qkv[:, :hd].astype(o_ref.dtype)  # [G*N, hd]
+    k_stack = jnp.concatenate(
+        [qkv[g * N : (g + 1) * N, hd : 2 * hd] for g in range(G) for _ in range(heads)],
+        axis=0,
+    ) if GHN > N else qkv[:, hd : 2 * hd]
+    v_stack = jnp.concatenate(
+        [
+            qkv[g * N : (g + 1) * N, 2 * hd : 3 * hd]
+            for g in range(G)
+            for _ in range(heads)
+        ],
+        axis=0,
+    ) if GHN > N else qkv[:, 2 * hd : 3 * hd]
+    k_stack = (k_stack * kv_mask).astype(o_ref.dtype)  # [GHN, hd]
+    v_stack = (v_stack * kv_mask).astype(o_ref.dtype)
+
+    s = jax.lax.dot_general(
+        q_all, k_stack, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [G*N, GHN]
+    s = s * s_mask - 1e9 * (1.0 - s_mask)
+    p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+    den = jax.lax.dot_general(
+        p, group, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # cross-sample blocks are 0/0 — real denominators are >= 1 (the row max
+    # is attained inside the row), so the epsilon only de-NaNs the zeros.
+    p = (p / (den + 1e-30)).astype(o_ref.dtype)
+    att = jax.lax.dot_general(
+        p, v_stack, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)  # [G*N, hd]
+
+    y = jax.lax.dot_general(
+        att, wo_ref[...].astype(o_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0]  # [G*N, C] f32
+    for g in range(G):
+        o_ref[g] = (y[g * N : (g + 1) * N] + xf[g * N : (g + 1) * N]).astype(
+            o_ref.dtype
+        )
+
+
+def _pallas_attn_block_small(
+    x, ng, nb, wqkv, wout, bout, heads, dim_head, scale, eps, interpret=False
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    hd = heads * dim_head
+    wq = ng.astype(jnp.float32)[:, None] * wqkv.astype(jnp.float32)
+    bq = nb.astype(jnp.float32) @ wqkv.astype(jnp.float32)
+    # The batched scores/denominator masks scale with (G*heads*N)^2 f32 —
+    # cap the per-step sample block so GHN stays within one ~4 MB mask.
+    block_g = max(min(B, 1024 // max(heads * N, 1)), 1)
+    while B % block_g:
+        block_g -= 1
+    G = block_g
+    HN = heads * N
+    GHN = G * HN
+
+    # constant masks, folded by XLA and fetched to VMEM once per call
+    row_head = (jnp.arange(GHN)[:, None] % HN) // N
+    col_head = jnp.arange(hd)[None, :] // dim_head
+    kv_mask = (row_head == col_head).astype(jnp.float32)  # [GHN, hd]
+    s_mask = (
+        jnp.arange(G * N)[:, None] // N == jnp.arange(GHN)[None, :] // HN
+    ).astype(jnp.float32)  # [G*N, GHN]
+    dr = jnp.arange(GHN)[:, None]
+    dc = jnp.arange(GHN)[None, :]
+    group = ((dr // HN == dc // HN) & ((dr % HN) // N == (dc % HN) // N)).astype(
+        jnp.float32
+    )  # [GHN, GHN]
+
+    kernel = functools.partial(
+        _attn_block_small_kernel, heads=heads, dim_head=dim_head, scale=scale, eps=eps
+    )
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda a, b_: pl.BlockSpec((a, b_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((block_g, N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B // block_g,),
+        in_specs=[
+            blk, mat(C, 3 * hd), row(3 * hd), mat(hd, C), row(C),
+            mat(GHN, hd), mat(G * N, GHN), mat(GHN, GHN),
+        ],
+        out_specs=blk,
+        interpret=interpret,
+    )(
+        x, wq, bq.reshape(1, -1),
+        wout.astype(jnp.float32), bout.astype(jnp.float32).reshape(1, -1),
+        kv_mask, s_mask, group,
+    )
+
+
+def use_small_attn_block(shape, dtype, heads: int, dim_head: int) -> bool:
+    """Dispatch for the fused bottleneck-attention block: small token counts
+    where the XLA per-head einsums are pure layout overhead. Opt-out:
+    DMN_TPU_PALLAS_ATTN_BLOCK=0."""
+    import os
+
+    if os.environ.get("DMN_TPU_PALLAS_ATTN_BLOCK") == "0":
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return os.environ.get("DMN_TPU_PALLAS_ATTN_BLOCK") == "interpret"
+    B, N, C = shape
+    hd = heads * dim_head
+    return hd % 128 == 0 and N % 8 == 0 and 8 <= N <= 64 and heads * N <= 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_attention_block_small(
+    x, norm_gamma, norm_beta, w_qkv, w_out, b_out,
+    heads: int, dim_head: int, scale: float, eps: float = 1e-5,
+):
+    """Whole ``Residual(PreNorm(Attention))`` bottleneck block on [B, N, C].
+
+    Pallas on TPU when `use_small_attn_block` holds (callers check it first);
+    XLA module-equivalent composition otherwise. Reverse mode recomputes
+    through the XLA path (custom_vjp — do not jvp)."""
+    if use_small_attn_block(x.shape, x.dtype, heads, dim_head):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_attn_block_small(
+            x, norm_gamma, norm_beta, w_qkv, w_out, b_out,
+            heads, dim_head, scale, eps, interpret=interpret,
+        )
+    return attention_block_reference(
+        x, norm_gamma, norm_beta, w_qkv, w_out, b_out, heads, dim_head, scale, eps
+    )
+
+
+def _attn_small_fwd(x, ng, nb, wqkv, wout, bout, heads, dim_head, scale, eps):
+    out = fused_attention_block_small(
+        x, ng, nb, wqkv, wout, bout, heads, dim_head, scale, eps
+    )
+    return out, (x, ng, nb, wqkv, wout, bout)
+
+
+def _attn_small_bwd(heads, dim_head, scale, eps, res, g):
+    x, ng, nb, wqkv, wout, bout = res
+    _, vjp = jax.vjp(
+        lambda *a: attention_block_reference(*a, heads, dim_head, scale, eps),
+        x, ng, nb, wqkv, wout, bout,
+    )
+    return vjp(g)
+
+
+fused_attention_block_small.defvjp(_attn_small_fwd, _attn_small_bwd)

@@ -350,3 +350,110 @@ def test_packed_block_module_dispatch_params_and_output(monkeypatch):
         rtol=3e-2,
         atol=3e-2,
     )
+
+
+def test_attention_block_reference_matches_module_composition():
+    """attention_block_reference (prenorm -> qkv -> sdpa -> out -> +x) must
+    equal SelfAttentionBlock(linear=False) exactly (same casts per seam)."""
+    from diffusion_model_nemo_tpu.modules.parts import SelfAttentionBlock
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    h, d = 4, 32
+    B, H, W, C = 3, 4, 4, 64
+    x = (jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    blk = SelfAttentionBlock(linear=False, dtype=jnp.bfloat16)
+    params = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_mod = blk.apply({"params": params}, x)
+    ref = A.attention_block_reference(
+        x.reshape(B, H * W, C),
+        params["norm"]["scale"], params["norm"]["bias"],
+        params["attn"]["to_qkv"]["kernel"][0, 0],
+        params["attn"]["to_out"]["kernel"][0, 0],
+        params["attn"]["to_out"]["bias"],
+        h, d, d**-0.5,
+    ).reshape(B, H, W, C)
+    np.testing.assert_array_equal(
+        np.asarray(out_mod, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_small_attn_block_kernel_matches_reference(monkeypatch):
+    """Batched bottleneck-attention kernel (interpret mode) vs the XLA
+    composition — the stacked-mask sample batching must be exact math
+    (cross-sample scores masked to zero probability)."""
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    h, d = 4, 32
+    hd = h * d
+    for (B, N, C) in [(8, 16, 64), (4, 16, 32), (2, 64, 64)]:
+        k = jax.random.PRNGKey(42)
+        x = (jax.random.normal(k, (B, N, C)) * 0.5).astype(jnp.bfloat16)
+        ks = [jax.random.fold_in(k, i) for i in range(6)]
+        ng = 1.0 + 0.1 * jax.random.normal(ks[0], (C,))
+        nb = 0.1 * jax.random.normal(ks[1], (C,))
+        wqkv = jax.random.normal(ks[2], (C, 3 * hd)) * (C**-0.5)
+        wout = jax.random.normal(ks[3], (hd, C)) * (hd**-0.5)
+        bout = 0.1 * jax.random.normal(ks[4], (C,))
+        args = (x, ng, nb, wqkv, wout, bout)
+        ref = A.attention_block_reference(*args, h, d, d**-0.5).astype(jnp.float32)
+        out = A._pallas_attn_block_small(
+            *args, h, d, d**-0.5, 1e-5, interpret=True
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
+
+    # gradient through the custom_vjp recomputes the XLA reference
+    monkeypatch.setenv("DMN_TPU_PALLAS_ATTN_BLOCK", "interpret")
+    B, N, C = 2, 16, 64
+    x = (jax.random.normal(jax.random.PRNGKey(7), (B, N, C)) * 0.5).astype(jnp.bfloat16)
+    ng = jnp.ones((C,)); nb = jnp.zeros((C,))
+    wqkv = jax.random.normal(jax.random.PRNGKey(8), (C, 3 * hd)) * (C**-0.5)
+    wout = jax.random.normal(jax.random.PRNGKey(9), (hd, C)) * (hd**-0.5)
+    bout = jnp.zeros((C,))
+    g = jax.grad(
+        lambda w: A.fused_attention_block_small(
+            x, ng, nb, w, wout, bout, h, d, d**-0.5
+        ).astype(jnp.float32).sum()
+    )(wqkv)
+    g_ref = jax.grad(
+        lambda w: A.attention_block_reference(
+            x, ng, nb, w, wout, bout, h, d, d**-0.5
+        ).astype(jnp.float32).sum()
+    )(wqkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_small_attn_block_module_dispatch(monkeypatch):
+    """SelfAttentionBlock(linear=False) routes through the fused bottleneck
+    kernel when dispatch holds: identical parameter tree, output within
+    bf16-seam tolerance; f32 configs never dispatch."""
+    from diffusion_model_nemo_tpu.modules.parts import SelfAttentionBlock
+    from diffusion_model_nemo_tpu.ops.attention import use_small_attn_block
+
+    assert not use_small_attn_block((2, 16, 64), jnp.dtype(jnp.float32), 4, 32)
+    assert not use_small_attn_block((2, 1024, 32), jnp.dtype(jnp.bfloat16), 4, 32)
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 64)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    blk = SelfAttentionBlock(linear=False, dtype=jnp.bfloat16)
+    monkeypatch.delenv("DMN_TPU_PALLAS_ATTN_BLOCK", raising=False)
+    params_default = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_default = blk.apply({"params": params_default}, x)
+
+    monkeypatch.setenv("DMN_TPU_PALLAS_ATTN_BLOCK", "interpret")
+    params_fused = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_fused = blk.apply({"params": params_fused}, x)
+
+    assert jax.tree.structure(params_default) == jax.tree.structure(params_fused)
+    for a, b in zip(jax.tree.leaves(params_default), jax.tree.leaves(params_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out_fused, np.float32),
+        np.asarray(out_default, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )

@@ -20,9 +20,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def categorize(name: str) -> str:
     n = name.lower()
-    for key in ("conv", "fusion", "copy", "transpose", "rng", "threefry", "dot",
-                "reduce", "dynamic-slice", "dynamic_update", "scatter", "gather",
-                "all-reduce", "bitcast", "broadcast", "iota", "custom-call"):
+    # "convolution" before generic substrings: "convert_reduce_fusion" must
+    # land in reduce, not conv (a round-3 misattribution that inflated the
+    # conv category with GroupNorm stat reductions).
+    if "convolution" in n:
+        return "conv"
+    if "attn" in n or "custom-call" in n:
+        return "custom-call"
+    for key in ("reduce", "copy", "transpose", "rng", "threefry", "dot",
+                "dynamic-slice", "dynamic_update", "scatter", "gather",
+                "all-reduce", "bitcast", "broadcast", "iota", "fusion"):
         if key in n:
             return key
     return "other"
