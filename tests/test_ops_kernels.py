@@ -457,3 +457,59 @@ def test_small_attn_block_module_dispatch(monkeypatch):
         rtol=3e-2,
         atol=3e-2,
     )
+
+
+def test_packed_and_small_block_kernels_shape_sweep():
+    """Interpret-mode sweep across every (B, N, C, heads) the dispatchers can
+    legally fire for — guards the lane-offset arithmetic (J-token packing,
+    stacked masks) against shape-specific bugs the targeted tests miss."""
+    from diffusion_model_nemo_tpu.ops import attention as A
+
+    d = 32
+    for (B, N, C, h) in [
+        (2, 512, 32, 4), (3, 256, 64, 4), (2, 1024, 32, 4),
+        (2, 256, 32, 4), (2, 128, 128, 4), (2, 256, 64, 8),
+    ]:
+        hd = h * d
+        k = jax.random.PRNGKey(B * 1000 + N + C + h)
+        x = (jax.random.normal(k, (B, N, C)) * 0.5).astype(jnp.bfloat16)
+        ks = [jax.random.fold_in(k, i) for i in range(8)]
+        ng = 1.0 + 0.1 * jax.random.normal(ks[0], (C,))
+        nb = 0.1 * jax.random.normal(ks[1], (C,))
+        wqkv = jax.random.normal(ks[2], (C, 3 * hd)) * (C**-0.5)
+        wout = jax.random.normal(ks[3], (hd, C)) * (hd**-0.5)
+        bout = 0.1 * jax.random.normal(ks[4], (C,))
+        og = 1.0 + 0.1 * jax.random.normal(ks[5], (C,))
+        ob = 0.1 * jax.random.normal(ks[6], (C,))
+        ref = A.linear_attention_block_reference(
+            x, ng, nb, wqkv, wout, bout, og, ob, h, d, d**-0.5
+        ).astype(jnp.float32)
+        out = A._pallas_linattn_block_packed(
+            x, ng, nb, wqkv, wout, bout, og, ob, h, d, d**-0.5, 1e-5,
+            interpret=True,
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2.5e-2, atol=2.5e-2,
+            err_msg=f"packed kernel mismatch at B={B} N={N} C={C} h={h}",
+        )
+
+    for (B, N, C, h) in [(5, 16, 64, 4), (2, 16, 32, 4), (3, 32, 64, 4), (2, 64, 128, 4)]:
+        hd = h * d
+        k = jax.random.PRNGKey(B * 999 + N + C)
+        x = (jax.random.normal(k, (B, N, C)) * 0.5).astype(jnp.bfloat16)
+        ks = [jax.random.fold_in(k, i) for i in range(6)]
+        ng = 1.0 + 0.1 * jax.random.normal(ks[0], (C,))
+        nb = 0.1 * jax.random.normal(ks[1], (C,))
+        wqkv = jax.random.normal(ks[2], (C, 3 * hd)) * (C**-0.5)
+        wout = jax.random.normal(ks[3], (hd, C)) * (hd**-0.5)
+        bout = 0.1 * jax.random.normal(ks[4], (C,))
+        ref = A.attention_block_reference(
+            x, ng, nb, wqkv, wout, bout, h, d, d**-0.5
+        ).astype(jnp.float32)
+        out = A._pallas_attn_block_small(
+            x, ng, nb, wqkv, wout, bout, h, d, d**-0.5, 1e-5, interpret=True
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2.5e-2, atol=2.5e-2,
+            err_msg=f"small-attn kernel mismatch at B={B} N={N} C={C} h={h}",
+        )
