@@ -367,6 +367,63 @@ def main() -> None:
         except Exception as e:
             train = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- serving-path throughput (production daemon, DDIM-50) ----------------
+    # End-to-end images/sec through BatchingSampler.submit(): request queue ->
+    # coalescing -> fixed-shape device batch -> on-device uint8 -> per-request
+    # slices. Compare with `ddim50` above to read off the serving overhead.
+    # Runs LAST: change_sampler mutates the flagship model object.
+    serving = None
+    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
+        try:
+            import threading
+
+            from diffusion_model_nemo_tpu.serving import BatchingSampler
+
+            model = r32["model"]
+            model.change_sampler(
+                {
+                    "_target_": "diffusion_model_nemo.modules.GeneralizedGaussianDiffusion",
+                    "timesteps": T,
+                    "schedule_name": "cosine",
+                    "eta": 0.0,
+                    "ddim_timesteps": 50,
+                }
+            )
+            b = BatchingSampler(
+                model, image_size=IMG, max_batch=BATCH, linger_ms=5.0, use_ema=False
+            )
+            b.start(warmup=True)
+            N_REQ, PER = 64, 16
+            errors = []
+
+            def client(i):
+                try:
+                    out = b.submit(PER, timeout=1200)
+                    assert out.shape[0] == PER
+                except Exception as e:  # surfaced in the JSON
+                    errors.append(f"{type(e).__name__}: {e}"[:120])
+
+            threads = [threading.Thread(target=client, args=(i,)) for i in range(N_REQ)]
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.perf_counter() - t0
+            stats = b.snapshot_stats()
+            b.stop()
+            serving = {
+                "images_per_sec": round(N_REQ * PER / wall, 1),
+                "ddim_steps": 50,
+                "requests": N_REQ,
+                "images_per_request": PER,
+                "mean_latency_ms": stats.get("avg_request_latency_ms"),
+                "batch_fill": stats.get("avg_batch_fill"),
+                "errors": errors[:2],
+            }
+        except Exception as e:
+            serving = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
         "value": round(fused_sps, 4),
@@ -385,6 +442,7 @@ def main() -> None:
         "tpu_s2d": s2d,
         "dim128": dim128,
         "train": train,
+        "serving": serving,
         "batch": BATCH,
         "timesteps": T,
     }
