@@ -244,6 +244,7 @@ def main() -> None:
     # ---- fast-sampler legs: DDIM-50 + score-SDE PC (driver-visible so
     # regressions in the strided/SDE paths show up in BENCH_r*.json) ----------
     ddim50 = None
+    distill8 = None
     dpm20 = None
     pc_sde = None
     dim128 = None
@@ -269,6 +270,34 @@ def main() -> None:
             ddim50 = {"sps": round(BATCH / sec, 1), "steps": 50, "eta": 0.0}
         except Exception as e:
             ddim50 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # the progressive-distillation student's serving configuration:
+            # 8-step deterministic DDIM in the v-parameterization
+            # (training/distillation.py; throughput-only — random weights
+            # like every other leg)
+            from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
+
+            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
+            dd8 = GeneralizedGaussianDiffusion(
+                timesteps=T,
+                schedule_name="cosine",
+                eta=0.0,
+                ddim_timesteps=8,
+                objective="pred_v",
+            )
+            fused = jax.jit(lambda p, k: dd8.p_sample_loop(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(6)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 20
+            out = None
+            for i in range(RUNS):
+                out = fused(params, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            distill8 = {"sps": round(BATCH / sec, 1), "steps": 8, "objective": "pred_v"}
+        except Exception as e:
+            distill8 = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
             from diffusion_model_nemo_tpu.modules import DPMSolverDiffusion
 
@@ -437,6 +466,7 @@ def main() -> None:
         "device_kind": device_kind,
         "peak_bf16_flops": peak,
         "ddim50": ddim50,
+        "distill8": distill8,
         "dpm20": dpm20,
         "pc_sde": pc_sde,
         "tpu_s2d": s2d,

@@ -50,7 +50,14 @@ class DDPM(AbstractDiffusionModel):
         x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
         model_output = model_fn(params, x_t, t)
 
-        loss = self.loss(input=model_output, target=noise)
+        # Reference parity: the loss targets the true noise (ddpm.py:57) for
+        # pred_noise AND pred_x0 alike. pred_v (beyond-reference) targets the
+        # exact v for the drawn (x0, t, eps) triple.
+        if getattr(self.sampler, "objective", "pred_noise") == "pred_v":
+            target = self.sampler.v_target(samples, t, noise)
+        else:
+            target = noise
+        loss = self.loss(input=model_output, target=target)
         metrics = {"train_loss": loss}
         return loss, metrics
 

@@ -42,8 +42,15 @@ class ImprovedDDPM(DDPM):
         model_output = model_fn(params, x_t, t)
 
         # Simple loss on the noise half (improved_ddpm.py:53-55; NHWC → last axis).
+        # Under pred_v (beyond-reference) the first half is a v-prediction and
+        # the simple loss targets the exact v; the VLB path below already
+        # routes through the objective-aware p_mean_variance.
         pred_noise, _ = jnp.split(model_output, 2, axis=-1)
-        simple_losses = self.loss(input=pred_noise, target=noise)
+        if getattr(self.sampler, "objective", "pred_noise") == "pred_v":
+            target = self.sampler.v_target(samples, t, noise)
+        else:
+            target = noise
+        simple_losses = self.loss(input=pred_noise, target=target)
 
         # VLB on the learned variance (improved_ddpm.py:57-69).
         true_mean, true_log_variance_clipped = self.sampler.q_posterior(

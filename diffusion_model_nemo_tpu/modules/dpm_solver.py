@@ -166,6 +166,8 @@ class DPMSolverDiffusion(GeneralizedGaussianDiffusion):
             eps = eps.reshape(x.shape)
             if self.objective == "pred_noise":
                 x0 = (x - cs["sigma_s"] * eps) / cs["alpha_s"]
+            elif self.objective == "pred_v":
+                x0 = cs["alpha_s"] * x - cs["sigma_s"] * eps
             else:
                 x0 = eps
             if self.clip_denoised:

@@ -53,8 +53,10 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         class_conditional: bool = False,
     ):
         super().__init__(timesteps=timesteps, schedule_name=schedule_name, schedule_cfg=schedule_cfg)
-        if objective not in ("pred_noise", "pred_x0"):
-            raise ValueError(f"objective must be pred_noise|pred_x0, got {objective}")
+        if objective not in ("pred_noise", "pred_x0", "pred_v"):
+            raise ValueError(
+                f"objective must be pred_noise|pred_x0|pred_v, got {objective}"
+            )
         self.objective = objective
         self.use_class_conditioning = bool(class_conditional)
         self.compute_constants(timesteps)
@@ -97,6 +99,36 @@ class GaussianDiffusion(AbstractDiffusionProcess):
             - extract(c.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
         )
 
+    # ---- v-parameterization ----------------------------------------------------
+    # Salimans & Ho 2022 (arXiv:2202.00512): v ≡ √ᾱ_t·ε − √(1-ᾱ_t)·x₀. Beyond
+    # the reference's pred_noise/pred_x0 surface — the angular parameterization
+    # every step distillation recipe (and modern training) expects. All three
+    # conversions are exact linear maps; pred_noise/pred_v models are
+    # interchangeable at sampling time given the same schedule.
+    def v_target(self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray):
+        """Training target v for an (x₀, t, ε) triple."""
+        c = self.constants
+        return (
+            extract(c.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+            - extract(c.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * x_start
+        )
+
+    def predict_start_from_v(self, x_t: jnp.ndarray, t: jnp.ndarray, v: jnp.ndarray):
+        """x̂₀ = √ᾱ_t·x_t − √(1-ᾱ_t)·v̂."""
+        c = self.constants
+        return (
+            extract(c.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
+            - extract(c.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+        )
+
+    def predict_noise_from_v(self, x_t: jnp.ndarray, t: jnp.ndarray, v: jnp.ndarray):
+        """ε̂ = √(1-ᾱ_t)·x_t + √ᾱ_t·v̂."""
+        c = self.constants
+        return (
+            extract(c.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * x_t
+            + extract(c.sqrt_alphas_cumprod, t, x_t.ndim) * v
+        )
+
     # ---- p space -------------------------------------------------------------
     def p_mean_variance(
         self,
@@ -125,6 +157,8 @@ class GaussianDiffusion(AbstractDiffusionProcess):
 
         if self.objective == "pred_noise":
             x_recon = self.predict_start_from_noise(x_t=x, t=t, noise=model_output)
+        elif self.objective == "pred_v":
+            x_recon = self.predict_start_from_v(x_t=x, t=t, v=model_output)
         else:
             x_recon = model_output
         x_recon = jnp.clip(x_recon, -1.0, 1.0)

@@ -60,6 +60,16 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         acp = extract(self.alphas_extended_cumprod, t + 1, x_t.ndim)
         return (x_t - noise * jnp.sqrt(1.0 - acp)) / jnp.sqrt(acp)
 
+    def generalized_predict_start_from_v(self, x_t, t, v):
+        """x̂₀ from a v-prediction on the extended-ᾱ grid (t=-1 → ᾱ=1)."""
+        acp = extract(self.alphas_extended_cumprod, t + 1, x_t.ndim)
+        return jnp.sqrt(acp) * x_t - jnp.sqrt(1.0 - acp) * v
+
+    def generalized_predict_noise_from_v(self, x_t, t, v):
+        """ε̂ from a v-prediction on the extended-ᾱ grid."""
+        acp = extract(self.alphas_extended_cumprod, t + 1, x_t.ndim)
+        return jnp.sqrt(1.0 - acp) * x_t + jnp.sqrt(acp) * v
+
     def p_mean_variance(
         self,
         model_fn: Optional[ModelFn],
@@ -76,6 +86,8 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
             model_output = model_output.reshape(x.shape)
         if self.objective == "pred_noise":
             x_recon = self.generalized_predict_start_from_noise(x_t=x, t=t, noise=model_output)
+        elif self.objective == "pred_v":
+            x_recon = self.generalized_predict_start_from_v(x_t=x, t=t, v=model_output)
         else:
             x_recon = model_output
         x_recon = jnp.clip(x_recon, -1.0, 1.0)
@@ -107,7 +119,14 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         noise = jax.random.normal(key, x.shape, dtype=x.dtype)
         c1 = self.eta * jnp.sqrt((1.0 - acp / acp_next) * (1.0 - acp_next) / (1.0 - acp))
         c2 = jnp.sqrt((1.0 - acp_next) - c1**2)
-        xt_next = jnp.sqrt(acp_next) * x0_t + c1 * noise + c2 * model_output
+        # The c2 "direction" term wants ε̂: for pred_noise that IS the model
+        # output (reference behavior, generalized_gaussian_diffusion.py:74-95);
+        # for pred_v convert the v-prediction exactly.
+        if self.objective == "pred_v":
+            eps_hat = jnp.sqrt(1.0 - acp) * x + jnp.sqrt(acp) * model_output
+        else:
+            eps_hat = model_output
+        xt_next = jnp.sqrt(acp_next) * x0_t + c1 * noise + c2 * eps_hat
         return xt_next, x0_t
 
     def _strided_sequences(self) -> Tuple[np.ndarray, np.ndarray]:

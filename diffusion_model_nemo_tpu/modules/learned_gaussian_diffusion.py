@@ -74,7 +74,12 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
         model_log_variance = self.model_log_variance(model_output, x, t)
         model_variance = jnp.exp(model_log_variance)
 
-        x_start = self.predict_start_from_noise(x_t=x, t=t, noise=pred_noise)
+        # Under pred_v the first output half is a v-prediction, not ε̂
+        # (the variance-interpolation half is parameterization-agnostic).
+        if self.objective == "pred_v":
+            x_start = self.predict_start_from_v(x_t=x, t=t, v=pred_noise)
+        else:
+            x_start = self.predict_start_from_noise(x_t=x, t=t, noise=pred_noise)
         x_start = jnp.clip(x_start, -1.0, 1.0)
 
         model_mean, _ = self.q_posterior(x_start, x, t)

@@ -40,6 +40,11 @@ class WaveGradDiffusion(GaussianDiffusion):
         objective: str = "pred_noise",
         class_conditional: bool = False,
     ):
+        if objective == "pred_v":
+            # WaveGrad conditions on a CONTINUOUS noise level sampled between
+            # schedule entries (sample_continuous_noise_level) — the discrete
+            # v_target/predict_start_from_v tables do not apply.
+            raise ValueError("WaveGradDiffusion supports pred_noise|pred_x0 only")
         super().__init__(
             timesteps=timesteps,
             schedule_name=schedule_name,

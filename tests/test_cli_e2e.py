@@ -101,3 +101,45 @@ def test_train_wavegrad_cli(tmp_path):
         "exp_manager.name=CliWG",
         f"+model.results_dir={tmp_path / 'results'}",
     )
+
+
+def test_distill_cli_roundtrip(tmp_path):
+    """train → distill (eps→v transfer + one halving) → eval the student
+    archive with its persisted few-step DDIM sampler."""
+    exp = tmp_path / "exp"
+    train = [o if not o.startswith("model.timesteps") else "model.timesteps=16" for o in TINY_TRAIN]
+    _run(
+        "ddpm/train_ddpm.py",
+        *train,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliTeacher",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliTeacher/*/CliTeacher.dmn"))
+    assert len(archives) == 1
+
+    student = tmp_path / "Student.dmn"
+    _run(
+        "ddpm/distill_ddpm.py",
+        f"model_path={archives[0]}",
+        f"output_path={student}",
+        "final_steps=4",
+        "steps_per_phase=2",
+        "transfer_steps=2",
+        "batch_size=8",
+        "dataset_name=synthetic",
+        "dataset_length=16",
+        "log_every=1",
+    )
+    assert student.exists()
+
+    out = tmp_path / "samples"
+    _run(
+        "ddpm/eval_ddpm.py",
+        f"model_path={student}",
+        "batch_size=2",
+        "use_ddim_sampler=false",  # keep the archive's own distilled sampler
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
