@@ -144,6 +144,11 @@ class AbstractDiffusionModel:
             cfg = from_dict(cfg)
             cfg.setdefault("image_size", self.image_size)
             cfg.setdefault("channels", self.channels)
+            if self.cfg.get("num_classes") is not None:
+                # labels must stay inside the class-embedding table: an
+                # out-of-range index reaches jnp.take's out-of-bounds FILL
+                # mode, which fills NaN for floats → instant NaN loss
+                cfg.setdefault("num_classes", int(self.cfg["num_classes"]))
         return build_dataloader(cfg, mode=mode)
 
     def setup_training_data(self, train_data_config):

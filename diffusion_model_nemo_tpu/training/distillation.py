@@ -87,6 +87,12 @@ class ProgressiveDistiller:
         learning_rate / weight_decay / grad_clip: student AdamW settings.
         loss_weighting: ``truncated_snr`` (paper's max(SNR, 1) on the
             x₀-space error) or ``uniform``.
+        guidance_scale: when set (requires a ConditionalDDPM-style teacher
+            and labeled batches), the teacher's denoiser is the
+            classifier-free-guided combination ε_u + w·(ε_c − ε_u) at this
+            fixed w — the student absorbs guidance into a SINGLE network
+            call (stage 1 of Meng et al. 2023, arXiv:2210.03142), halving
+            the per-step cost of guided sampling before any step halving.
     """
 
     def __init__(
@@ -97,9 +103,16 @@ class ProgressiveDistiller:
         weight_decay: float = 0.0,
         grad_clip: float = 1.0,
         loss_weighting: str = "truncated_snr",
+        guidance_scale: Optional[float] = None,
     ):
         if loss_weighting not in ("truncated_snr", "uniform"):
             raise ValueError(f"unknown loss_weighting {loss_weighting!r}")
+        if guidance_scale is not None and not hasattr(model, "_cfg_model_fn"):
+            raise ValueError(
+                "guidance_scale requires a class-conditional model"
+                " (ConditionalDDPM) as the teacher"
+            )
+        self.guidance_scale = None if guidance_scale is None else float(guidance_scale)
         self.model = model
         self.timesteps = int(model.timesteps)
         self.teacher_objective = str(model.sampler.objective)
@@ -129,6 +142,7 @@ class ProgressiveDistiller:
         tx = self._tx
         student_objective = self.student_objective
         weighting = self.loss_weighting
+        guidance_scale = self.guidance_scale
 
         def teacher_eps_x0(teacher_fn, teacher_params, xi, ti, ndim):
             out = teacher_fn(teacher_params, xi, ti)
@@ -146,7 +160,13 @@ class ProgressiveDistiller:
             al_t, sg_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
             x = al_t * x0_data + sg_t * eps
 
-            teacher_fn = model.get_model_fn(proc, training=False)
+            if guidance_scale is not None:
+                # guided teacher: the student absorbs the 2-call CFG
+                # combination at fixed w into its single conditional call
+                labels = proc["label"].astype(jnp.int32)
+                teacher_fn = model._cfg_model_fn(labels, guidance_scale)
+            else:
+                teacher_fn = model.get_model_fn(proc, training=False)
             eps1, x01 = teacher_eps_x0(teacher_fn, teacher_params, x, t, ndim)
 
             if substeps == 2:

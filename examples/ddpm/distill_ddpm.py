@@ -43,6 +43,11 @@ class DistillConfig:
     grad_clip: float = 1.0
     loss_weighting: str = "truncated_snr"  # truncated_snr | uniform
 
+    # guidance distillation (ConditionalDDPM teachers + labeled data only):
+    # absorb the 2-call CFG combination at this fixed w into the student's
+    # single conditional call (Meng et al. 2023 stage 1)
+    guidance_scale: Optional[float] = None
+
     # data (defaults to the teacher's train_ds; synthetic needs no network)
     dataset_name: Optional[str] = None
     batch_size: int = 64
@@ -88,6 +93,7 @@ def main(cfg):
         weight_decay=cfg.weight_decay,
         grad_clip=cfg.grad_clip,
         loss_weighting=cfg.loss_weighting,
+        guidance_scale=cfg.guidance_scale,
     )
     transfer = cfg.transfer_steps if cfg.student_objective != model.sampler.objective else 0
     params, history = distiller.distill(

@@ -70,3 +70,39 @@ def test_reverse_transform():
     assert out.dtype == np.uint8 and out.max() == 0
     out2 = get_reverse_transform(inverse_scale=True, uint=True)(np.ones((2, 2, 1), np.float32))
     assert out2.min() == 255
+
+
+def test_synthetic_loader_defaults_num_classes_from_model():
+    """Synthetic labels must stay inside the model's class-embedding table:
+    out-of-range indices hit jnp.take's out-of-bounds NaN fill (regression —
+    model.num_classes=4 with the synthetic default of 10 NaN'd step 1)."""
+    from diffusion_model_nemo_tpu.models import ConditionalDDPM
+
+    cfg = {
+        "image_size": 8,
+        "channels": 1,
+        "timesteps": 10,
+        "num_classes": 4,
+        "diffusion_model": {
+            "_target_": "diffusion_model_nemo.modules.Unet",
+            "dim": 8,
+            "dim_mults": [1, 2],
+            "channels": 1,
+            "num_classes": 4,
+        },
+        "sampler": {
+            "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+            "timesteps": 10,
+            "schedule_name": "linear",
+            "class_conditional": True,
+        },
+        "loss": {
+            "_target_": "diffusion_model_nemo.loss.DiffusionLoss",
+            "loss_type": "l2",
+            "reduction": "mean",
+        },
+    }
+    model = ConditionalDDPM(cfg=cfg)
+    model.setup_training_data({"name": "synthetic", "batch_size": 16, "length": 64})
+    labels = np.concatenate([np.asarray(b["label"]) for b in model._train_dl])
+    assert labels.max() < 4, labels.max()

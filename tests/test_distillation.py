@@ -183,3 +183,78 @@ def test_transfer_loss_decreases():
         params, opt_state, loss = step_fn(params, opt_state, model.params, batch, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+
+def _conditional_cfg(num_classes=4):
+    cfg = _tiny_cfg("pred_noise", timesteps=8)
+    cfg["num_classes"] = num_classes
+    cfg["diffusion_model"]["num_classes"] = num_classes
+    cfg["sampler"]["class_conditional"] = True
+    return cfg
+
+
+def _labeled_batches(batch_size=8, num_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {
+            "image": rng.integers(0, 255, (batch_size, IMG, IMG, 1), dtype=np.uint8),
+            "label": rng.integers(0, num_classes, (batch_size,), dtype=np.int64),
+        }
+
+
+def test_guidance_scale_requires_conditional_teacher():
+    model = DDPM(cfg=_tiny_cfg("pred_noise"))
+    with pytest.raises(ValueError, match="class-conditional"):
+        ProgressiveDistiller(model, guidance_scale=2.0)
+
+
+def test_guided_distill_w1_matches_conditional():
+    """w=1 CFG reduces to plain conditional (up to 2B-batch fp rounding), so
+    the w=1 guided distill step must produce the unguided step's loss."""
+    from diffusion_model_nemo_tpu.models import ConditionalDDPM
+
+    model = ConditionalDDPM(cfg=_conditional_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    batch = next(_labeled_batches())
+    key = jax.random.PRNGKey(3)
+
+    losses = {}
+    for name, w in (("plain", None), ("w1", 1.0)):
+        dist = ProgressiveDistiller(
+            model, student_objective="pred_noise", learning_rate=0.0, guidance_scale=w
+        )
+        step_fn = dist._get_step(stride=2, teacher_objective="pred_noise", substeps=2)
+        params = jax.tree.map(jnp.copy, model.params)
+        opt_state = dist._tx.init(params)
+        _, _, loss = step_fn(params, opt_state, model.params, batch, key)
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["w1"], losses["plain"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_guided_distill_e2e():
+    """Guided (w=2) distillation runs the full recipe on a conditional
+    teacher; the student samples class-conditionally WITHOUT guidance (the
+    w is absorbed) and differs from the unguided student."""
+    from diffusion_model_nemo_tpu.models import ConditionalDDPM
+
+    model = ConditionalDDPM(cfg=_conditional_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    model.ema_params = jax.tree.map(jnp.copy, model.params)
+
+    dist = ProgressiveDistiller(
+        model, student_objective="pred_v", learning_rate=1e-3, guidance_scale=2.0
+    )
+    params, history = dist.distill(
+        _labeled_batches(),
+        final_steps=4,
+        steps_per_phase=4,
+        key=jax.random.PRNGKey(1),
+        transfer_steps=4,
+        log_every=0,
+    )
+    assert all(np.all(np.isfinite(np.asarray(p))) for p in jax.tree.leaves(params))
+    student = dist.student_model(params, student_steps=4)
+    out = student.sample(batch_size=2, image_size=IMG, key=jax.random.PRNGKey(2), label=1)
+    assert out.shape == (2, IMG, IMG, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
