@@ -129,12 +129,16 @@ class ProgressiveDistiller:
         self._step_cache: Dict[Tuple[int, str, int], Any] = {}
 
     # ---- fused distill step ----------------------------------------------------
-    def _build_step(self, stride: int, teacher_objective: str, substeps: int):
+    def _build_step(self, stride: int, teacher_objective: str, substeps: int, guided: bool):
         """One jitted update. ``substeps=2`` is a progressive phase (two
         teacher half-steps of ``stride//2``); ``substeps=1`` is direct
         output-space transfer (target = the teacher's own x̂₀ at the same
         (x, t)) — used to re-parameterize an ε-teacher into a v-student
-        before the first halving."""
+        before the first halving. ``guided`` wraps the teacher in the CFG
+        combination at ``self.guidance_scale`` — ONLY the first stage of a
+        recipe may be guided: later stages' teachers are earlier students
+        that already absorbed w, and re-wrapping them compounds guidance
+        (w² by the second stage)."""
         model = self.model
         acp_ext = self._acp_ext
         T = self.timesteps
@@ -142,7 +146,9 @@ class ProgressiveDistiller:
         tx = self._tx
         student_objective = self.student_objective
         weighting = self.loss_weighting
-        guidance_scale = self.guidance_scale
+        guidance_scale = self.guidance_scale if guided else None
+        if guided and guidance_scale is None:
+            raise ValueError("guided step requested but no guidance_scale was set")
 
         def teacher_eps_x0(teacher_fn, teacher_params, xi, ti, ndim):
             out = teacher_fn(teacher_params, xi, ti)
@@ -225,10 +231,10 @@ class ProgressiveDistiller:
 
         return step
 
-    def _get_step(self, stride: int, teacher_objective: str, substeps: int):
-        key = (stride, teacher_objective, substeps)
+    def _get_step(self, stride: int, teacher_objective: str, substeps: int, guided: bool = False):
+        key = (stride, teacher_objective, substeps, guided)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(stride, teacher_objective, substeps)
+            self._step_cache[key] = self._build_step(stride, teacher_objective, substeps, guided)
         return self._step_cache[key]
 
     # ---- phase drivers -----------------------------------------------------------
@@ -247,10 +253,17 @@ class ProgressiveDistiller:
                 logging.info(f"[distill {tag}] step {i}: loss {losses[-1]:.5f}")
         return student_params, losses
 
-    def transfer_objective(self, batches: Iterator, steps: int, key, log_every: int = 50):
+    def transfer_objective(
+        self, batches: Iterator, steps: int, key, log_every: int = 50, guided: Optional[bool] = None
+    ):
         """Re-parameterize the teacher into ``student_objective`` (direct
-        output-space regression; no step-count change). Returns new params."""
-        step_fn = self._get_step(stride=1, teacher_objective=self.teacher_objective, substeps=1)
+        output-space regression; no step-count change). When the distiller
+        has a ``guidance_scale`` this stage ALSO absorbs the guidance (it
+        always regresses the original teacher). Returns new params."""
+        guided = (self.guidance_scale is not None) if guided is None else bool(guided)
+        step_fn = self._get_step(
+            stride=1, teacher_objective=self.teacher_objective, substeps=1, guided=guided
+        )
         params, losses = self._run(
             step_fn, self.model.params, batches, steps, key, log_every, "transfer"
         )
@@ -265,10 +278,13 @@ class ProgressiveDistiller:
         steps: int,
         key,
         log_every: int = 50,
+        guided: bool = False,
     ):
         """One halving phase: teacher at 2·student_steps → student at
         ``student_steps``. Requires T % student_steps == 0 with an even
-        stride (so the teacher midpoint is on-grid)."""
+        stride (so the teacher midpoint is on-grid). Set ``guided=True``
+        ONLY when ``teacher_params`` is the original guidance-trained
+        teacher (never a previous phase's student — guidance compounds)."""
         T = self.timesteps
         if student_steps <= 0 or T % student_steps != 0:
             raise ValueError(f"student_steps must divide timesteps={T}, got {student_steps}")
@@ -278,7 +294,7 @@ class ProgressiveDistiller:
                 f"stride {stride} (= {T}/{student_steps}) must be even so the"
                 " teacher midpoint lies on the discrete grid"
             )
-        step_fn = self._get_step(stride, teacher_objective, substeps=2)
+        step_fn = self._get_step(stride, teacher_objective, substeps=2, guided=guided)
         return self._run(
             step_fn, teacher_params, batches, steps, key, log_every, f"N={student_steps}"
         )
@@ -310,6 +326,11 @@ class ProgressiveDistiller:
 
         teacher_params = self.model.params
         teacher_objective = self.teacher_objective
+        # Guidance must be absorbed exactly ONCE — by whichever stage still
+        # regresses the ORIGINAL teacher. Every later stage's teacher is a
+        # student that already emits guided outputs; wrapping it again would
+        # compound the scale (w² by the second stage).
+        guided_next = self.guidance_scale is not None
         history: Dict[str, Any] = {}
         if self.student_objective != self.teacher_objective:
             if transfer_steps <= 0:
@@ -319,17 +340,26 @@ class ProgressiveDistiller:
                 )
             key, sub = jax.random.split(key)
             teacher_params, losses = self.transfer_objective(
-                batches, transfer_steps, sub, log_every
+                batches, transfer_steps, sub, log_every, guided=guided_next
             )
             teacher_objective = self.student_objective
+            guided_next = False
             history["transfer"] = losses
 
         for n in schedule:
             key, sub = jax.random.split(key)
             teacher_params, losses = self.distill_phase(
-                teacher_params, teacher_objective, n, batches, steps_per_phase, sub, log_every
+                teacher_params,
+                teacher_objective,
+                n,
+                batches,
+                steps_per_phase,
+                sub,
+                log_every,
+                guided=guided_next,
             )
             teacher_objective = self.student_objective
+            guided_next = False
             history[f"N={n}"] = losses
         return teacher_params, history
 

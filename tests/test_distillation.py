@@ -223,7 +223,9 @@ def test_guided_distill_w1_matches_conditional():
         dist = ProgressiveDistiller(
             model, student_objective="pred_noise", learning_rate=0.0, guidance_scale=w
         )
-        step_fn = dist._get_step(stride=2, teacher_objective="pred_noise", substeps=2)
+        step_fn = dist._get_step(
+            stride=2, teacher_objective="pred_noise", substeps=2, guided=w is not None
+        )
         params = jax.tree.map(jnp.copy, model.params)
         opt_state = dist._tx.init(params)
         _, _, loss = step_fn(params, opt_state, model.params, batch, key)
@@ -258,3 +260,33 @@ def test_guided_distill_e2e():
     out = student.sample(batch_size=2, image_size=IMG, key=jax.random.PRNGKey(2), label=1)
     assert out.shape == (2, IMG, IMG, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_guidance_absorbed_exactly_once(monkeypatch):
+    """Only the FIRST stage of the recipe may wrap the teacher in the CFG
+    combination — later teachers are students that already absorbed w, and
+    re-wrapping compounds guidance to w^2. Spy on the step builder."""
+    from diffusion_model_nemo_tpu.models import ConditionalDDPM
+
+    model = ConditionalDDPM(cfg=_conditional_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    dist = ProgressiveDistiller(
+        model, student_objective="pred_v", learning_rate=1e-3, guidance_scale=2.0
+    )
+    seen = []
+    orig = ProgressiveDistiller._get_step
+
+    def spy(self, stride, teacher_objective, substeps, guided=False):
+        seen.append(guided)
+        return orig(self, stride, teacher_objective, substeps, guided)
+
+    monkeypatch.setattr(ProgressiveDistiller, "_get_step", spy)
+    dist.distill(
+        _labeled_batches(),
+        final_steps=2,  # T=8 -> phases N=4, N=2
+        steps_per_phase=1,
+        key=jax.random.PRNGKey(1),
+        transfer_steps=1,
+        log_every=0,
+    )
+    assert seen == [True, False, False], seen
