@@ -2,6 +2,8 @@ from .diffusion_process import AbstractDiffusionProcess, ModelFn
 from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
 from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
 from .dpm_solver import DPMSolverDiffusion
+from .karras_diffusion import KarrasDiffusion
+from .consistency_sampler import ConsistencySampler
 from .learned_gaussian_diffusion import LearnedGaussianDiffusion
 from .wavegrad_diffusion import WaveGradDiffusion
 from .parts import (

@@ -464,6 +464,10 @@ def serve(
     dpm_steps: int = 20,
     dpm_order: int = 2,
     dpm_time_spacing: str = "strided",
+    use_karras_sampler: bool = False,
+    karras_steps: int = 18,
+    karras_order: int = 2,
+    karras_s_churn: float = 0.0,
     image_size: Optional[int] = None,
     base_seed: int = 0,
     transfer: str = "uint8",
@@ -485,7 +489,16 @@ def serve(
     from ..models import restore_model_from_archive
 
     model = restore_model_from_archive(model_path, use_ema=False)
-    if use_dpm_solver:
+    if use_karras_sampler:
+        # EDM sampler (modules/karras_diffusion.py): Heun + Karras rho-grid,
+        # optional stochastic churn — quality-grade few-step sampling.
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.KarrasDiffusion"
+        sampler_cfg["solver_steps"] = karras_steps
+        sampler_cfg["solver_order"] = karras_order
+        sampler_cfg["s_churn"] = karras_s_churn
+        model.change_sampler(sampler_cfg)
+    elif use_dpm_solver:
         # DPM-Solver++(2M): DDIM-50-class quality in ~20 evals — the highest
         # throughput sampler for production serving (modules/dpm_solver.py).
         sampler_cfg = dict(model.cfg.sampler)

@@ -37,6 +37,12 @@ class EvalConfig:
     dpm_order: int = 2
     dpm_time_spacing: str = "strided"  # strided | logsnr
 
+    # EDM / Karras sampler (Heun + rho-grid + optional churn; overrides both)
+    use_karras_sampler: bool = False
+    karras_steps: int = 18
+    karras_order: int = 2
+    karras_s_churn: float = 0.0
+
     # Output
     output_dir: str = "samples"
     add_timestamp: bool = True
@@ -52,7 +58,14 @@ class EvalConfig:
 
 
 def maybe_use_ddim_sampler(model: DDPM, cfg: EvalConfig) -> None:
-    if getattr(cfg, "use_dpm_solver", False):
+    if getattr(cfg, "use_karras_sampler", False):
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.KarrasDiffusion"
+        sampler_cfg["solver_steps"] = cfg.karras_steps
+        sampler_cfg["solver_order"] = cfg.karras_order
+        sampler_cfg["s_churn"] = cfg.karras_s_churn
+        model.change_sampler(sampler_cfg)
+    elif getattr(cfg, "use_dpm_solver", False):
         sampler_cfg = dict(model.cfg.sampler)
         sampler_cfg["_target_"] = "diffusion_model_nemo.modules.DPMSolverDiffusion"
         sampler_cfg["solver_steps"] = cfg.dpm_steps

@@ -47,6 +47,10 @@ class ServeConfig:
     dpm_steps: int = 20
     dpm_order: int = 2
     dpm_time_spacing: str = "strided"
+    use_karras_sampler: bool = False  # EDM Heun/churn: overrides both when true
+    karras_steps: int = 18
+    karras_order: int = 2
+    karras_s_churn: float = 0.0
 
     image_size: Optional[int] = None  # default: the archive's image_size
 
@@ -73,6 +77,10 @@ def main(cfg):
         dpm_steps=cfg.dpm_steps,
         dpm_order=cfg.dpm_order,
         dpm_time_spacing=cfg.dpm_time_spacing,
+        use_karras_sampler=cfg.use_karras_sampler,
+        karras_steps=cfg.karras_steps,
+        karras_order=cfg.karras_order,
+        karras_s_churn=cfg.karras_s_churn,
         image_size=cfg.image_size,
         base_seed=cfg.base_seed,
         transfer=cfg.transfer,
