@@ -1,4 +1,5 @@
 from .checkpoints import CheckpointManager, load_archive, save_archive
+from .consistency import ConsistencyDistiller
 from .distillation import ProgressiveDistiller, predict_eps_x0
 from .ema import ema_update, init_ema
 from .exp_manager import ExpManagerHooks, exp_manager
