@@ -143,3 +143,44 @@ def test_distill_cli_roundtrip(tmp_path):
         "add_timestamp=false",
     )
     assert (out / "samples_grid.png").exists()
+
+
+def test_consistency_cli_roundtrip(tmp_path):
+    """train → consistency-distill → eval the student archive with its
+    persisted 2-step consistency sampler."""
+    exp = tmp_path / "exp"
+    _run(
+        "ddpm/train_ddpm.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliCDTeacher",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliCDTeacher/*/CliCDTeacher.dmn"))
+    assert len(archives) == 1
+
+    student = tmp_path / "StudentCD.dmn"
+    _run(
+        "ddpm/consistency_ddpm.py",
+        f"model_path={archives[0]}",
+        f"output_path={student}",
+        "steps=2",
+        "grid_steps=4",
+        "sample_steps=2",
+        "batch_size=8",
+        "dataset_name=synthetic",
+        "dataset_length=32",
+        "log_every=1",
+    )
+    assert student.exists()
+
+    out = tmp_path / "samples_cd"
+    _run(
+        "ddpm/eval_ddpm.py",
+        f"model_path={student}",
+        "batch_size=2",
+        "use_ddim_sampler=false",  # keep the archive's consistency sampler
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
