@@ -62,6 +62,11 @@ class ConsistencyDistiller:
         loss: ``l2`` or ``pseudo_huber`` (sqrt(d^2 + c^2) - c with the
             improved-CT c = 0.00054*sqrt(D), robust at small batch).
         teacher_order: 2 = one Heun step per transition (paper), 1 = Euler.
+        mode: ``distill`` (CD, Algorithm 2 — the adjacent point comes from
+            one teacher ODE step) or ``train`` (CT, Algorithm 3 — the
+            adjacent point is the data re-noised with the SAME z at the
+            lower level; no teacher network call, so it also works from a
+            random init).
     """
 
     def __init__(
@@ -78,6 +83,7 @@ class ConsistencyDistiller:
         grad_clip: float = 1.0,
         loss: str = "l2",
         teacher_order: int = 2,
+        mode: str = "distill",
     ):
         if loss not in ("l2", "pseudo_huber"):
             raise ValueError(f"unknown loss {loss!r}")
@@ -85,6 +91,9 @@ class ConsistencyDistiller:
             raise ValueError(f"teacher_order must be 1 or 2, got {teacher_order}")
         if grid_steps < 2:
             raise ValueError(f"grid_steps must be >= 2, got {grid_steps}")
+        if mode not in ("distill", "train"):
+            raise ValueError(f"mode must be distill|train, got {mode!r}")
+        self.mode = mode
         self.model = model
         self.timesteps = int(model.timesteps)
         self.teacher_objective = str(model.sampler.objective)
@@ -190,6 +199,7 @@ class ConsistencyDistiller:
         tx = self._tx
         mu = self.ema_decay
         loss_kind = self.loss
+        ct_mode = self.mode == "train"
 
         def loss_fn(student_params, target_params, teacher_params, proc, n, z):
             x0_data = proc["pixel_values"]
@@ -201,9 +211,15 @@ class ConsistencyDistiller:
 
             xhat_hi = x0_data + _col(sig_hi, ndim) * z
             teacher_fn = model.get_model_fn(proc, training=False)
-            xhat_lo = self.teacher_heun_step(
-                teacher_fn, teacher_params, xhat_hi, sig_hi, t_hi, sig_lo, t_lo
-            )
+            if ct_mode:
+                # CT: the adjacent trajectory point is the data itself
+                # re-noised with the SAME z — an unbiased one-sample estimate
+                # of the ODE step, no teacher evaluation.
+                xhat_lo = x0_data + _col(sig_lo, ndim) * z
+            else:
+                xhat_lo = self.teacher_heun_step(
+                    teacher_fn, teacher_params, xhat_hi, sig_hi, t_hi, sig_lo, t_lo
+                )
             f_tgt = head.consistency_fn(
                 teacher_fn, target_params, xhat_lo, _col(sig_lo, ndim), t_lo
             )

@@ -41,6 +41,7 @@ class ConsistencyConfig:
     ema_decay: float = 0.95       # target-network mu
     loss: str = "l2"              # l2 | pseudo_huber
     teacher_order: int = 2        # Heun (paper) | 1 = Euler
+    mode: str = "distill"         # distill (CD) | train (CT, no teacher evals)
 
     # packaged student
     sample_steps: int = 1         # NFE of the packaged sampler
@@ -100,6 +101,7 @@ def main(cfg):
         grad_clip=cfg.grad_clip,
         loss=cfg.loss,
         teacher_order=cfg.teacher_order,
+        mode=cfg.mode,
     )
     params, losses = distiller.distill(
         batches(), steps=cfg.steps, key=jax.random.PRNGKey(cfg.seed),

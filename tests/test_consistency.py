@@ -199,3 +199,60 @@ def test_consistency_e2e_tiny_unet(tmp_path):
         restored.sample(batch_size=2, image_size=IMG, key=jax.random.PRNGKey(5))
     )
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_ct_mode_closed_form_loss():
+    """CT (mode=train): with grid_steps=2 the only transition is
+    sigma_max -> sigma_min, where the target head is the identity
+    (f(x, sigma_min) == x), so the step's loss is computable in closed form:
+    mean((f_theta(x0 + smax z, smax) - (x0 + smin z))^2)."""
+    model = DDPM(cfg=_tiny_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    dist = ConsistencyDistiller(
+        model, grid_steps=2, ema_decay=1.0, learning_rate=0.0, mode="train"
+    )
+    step = dist._build_step()
+    teacher = model.params
+    student = jax.tree.map(jnp.copy, teacher)
+    target = jax.tree.map(jnp.copy, teacher)
+    opt = dist._tx.init(student)
+    batch = next(_synthetic_batches())
+    key = jax.random.PRNGKey(7)
+    _, _, _, loss = step(student, target, opt, teacher, batch, key)
+
+    # replay the step's internal randomness (same split order)
+    from diffusion_model_nemo_tpu.data.hf_vision_data import preprocess_batch
+
+    k_pre, k_n, k_z = jax.random.split(key, 3)
+    proc = preprocess_batch(batch, k_pre, train=True)
+    x0 = proc["pixel_values"]
+    z = jax.random.normal(k_z, x0.shape, x0.dtype)  # n is always 0
+    sig_tab, t_tab = dist._grid_tables()
+    smax, smin = float(sig_tab[0]), float(sig_tab[1])
+    head = dist._head
+    f_stu = head.consistency_fn(
+        model.get_model_fn(proc, training=False),
+        model.params,
+        x0 + smax * z,
+        smax,
+        float(t_tab[0]),
+    )
+    manual = float(jnp.mean((f_stu - (x0 + smin * z)) ** 2))
+    np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
+
+
+def test_ct_mode_needs_no_teacher_field():
+    """CT never evaluates the teacher ODE step: a loss-poisoning teacher
+    objective mismatch cannot affect it (the same config in distill mode
+    does call the teacher)."""
+    model = DDPM(cfg=_tiny_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    ct = ConsistencyDistiller(model, grid_steps=4, mode="train", ema_decay=0.5)
+    params, losses = ct.distill(
+        _synthetic_batches(), steps=3, key=jax.random.PRNGKey(1), log_every=1
+    )
+    assert losses and all(np.isfinite(losses))
+    student = ct.student_model(params, sample_steps=1)
+    out = student.sample(batch_size=2, image_size=IMG, key=jax.random.PRNGKey(2))
+    assert out.shape == (2, IMG, IMG, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
