@@ -246,6 +246,7 @@ def main() -> None:
     ddim50 = None
     distill8 = None
     dpm20 = None
+    edm18 = None
     pc_sde = None
     dim128 = None
     train = None
@@ -318,6 +319,26 @@ def main() -> None:
             dpm20 = {"sps": round(BATCH / sec, 1), "steps": 20, "order": 2}
         except Exception as e:
             dpm20 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            from diffusion_model_nemo_tpu.modules import KarrasDiffusion
+
+            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
+            kd = KarrasDiffusion(
+                timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
+            )
+            fused = jax.jit(lambda p, k: kd.p_sample_loop(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(5)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 10
+            out = None
+            for i in range(RUNS):
+                out = fused(params, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            edm18 = {"sps": round(BATCH / sec, 1), "steps": 18, "order": 2, "nfe": 35}
+        except Exception as e:
+            edm18 = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
             from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
             from diffusion_model_nemo_tpu.modules.sde_samplers import (
@@ -468,6 +489,7 @@ def main() -> None:
         "ddim50": ddim50,
         "distill8": distill8,
         "dpm20": dpm20,
+        "edm18": edm18,
         "pc_sde": pc_sde,
         "tpu_s2d": s2d,
         "dim128": dim128,
