@@ -67,6 +67,10 @@ class ConsistencyDistiller:
             adjacent point is the data re-noised with the SAME z at the
             lower level; no teacher network call, so it also works from a
             random init).
+        mesh: optional ``jax.sharding.Mesh`` — runs the fused step data-
+            parallel over the mesh's ``data`` axis (params/target/optimizer
+            replicated, batches sharded via the multi-host-correct
+            ``put_global_batch``; XLA SPMD inserts the gradient reductions).
     """
 
     def __init__(
@@ -84,6 +88,7 @@ class ConsistencyDistiller:
         loss: str = "l2",
         teacher_order: int = 2,
         mode: str = "distill",
+        mesh=None,
     ):
         if loss not in ("l2", "pseudo_huber"):
             raise ValueError(f"unknown loss {loss!r}")
@@ -94,6 +99,7 @@ class ConsistencyDistiller:
         if mode not in ("distill", "train"):
             raise ValueError(f"mode must be distill|train, got {mode!r}")
         self.mode = mode
+        self.mesh = mesh
         self.model = model
         self.timesteps = int(model.timesteps)
         self.teacher_objective = str(model.sampler.objective)
@@ -270,13 +276,35 @@ class ConsistencyDistiller:
         if self._step is None:
             self._step = self._build_step()
         teacher_params = self.model.params
-        student_params = jax.tree.map(jnp.copy, teacher_params)
-        target_params = jax.tree.map(jnp.copy, teacher_params)
-        opt_state = self._tx.init(student_params)
+        if self.mesh is not None:
+            from ..parallel.sharding import param_shardings_for_strategy
+
+            p_shard = param_shardings_for_strategy(teacher_params, self.mesh, "ddp")
+            # copy-then-place: device_put may alias an already-matching leaf,
+            # and student/target are donated (CLAUDE.md invariant)
+            teacher_params = jax.device_put(teacher_params, p_shard)
+            student_params = jax.device_put(
+                jax.tree.map(jnp.copy, teacher_params), p_shard
+            )
+            target_params = jax.device_put(
+                jax.tree.map(jnp.copy, teacher_params), p_shard
+            )
+            opt_shard = param_shardings_for_strategy(
+                jax.eval_shape(self._tx.init, student_params), self.mesh, "ddp"
+            )
+            opt_state = jax.jit(self._tx.init, out_shardings=opt_shard)(student_params)
+        else:
+            student_params = jax.tree.map(jnp.copy, teacher_params)
+            target_params = jax.tree.map(jnp.copy, teacher_params)
+            opt_state = self._tx.init(student_params)
         losses = []
         for i in range(steps):
             key, sub = jax.random.split(key)
             batch = next(batches)
+            if self.mesh is not None:
+                from ..parallel.mesh import put_global_batch
+
+                batch = put_global_batch(self.mesh, batch)
             student_params, target_params, opt_state, loss = self._step(
                 student_params, target_params, opt_state, teacher_params, batch, sub
             )

@@ -93,6 +93,10 @@ class ProgressiveDistiller:
             fixed w — the student absorbs guidance into a SINGLE network
             call (stage 1 of Meng et al. 2023, arXiv:2210.03142), halving
             the per-step cost of guided sampling before any step halving.
+        mesh: optional ``jax.sharding.Mesh`` — runs the fused step data-
+            parallel over the mesh's ``data`` axis (params replicated,
+            batches sharded via the multi-host-correct ``put_global_batch``;
+            XLA SPMD inserts the gradient reductions).
     """
 
     def __init__(
@@ -104,6 +108,7 @@ class ProgressiveDistiller:
         grad_clip: float = 1.0,
         loss_weighting: str = "truncated_snr",
         guidance_scale: Optional[float] = None,
+        mesh=None,
     ):
         if loss_weighting not in ("truncated_snr", "uniform"):
             raise ValueError(f"unknown loss_weighting {loss_weighting!r}")
@@ -122,6 +127,7 @@ class ProgressiveDistiller:
         self.loss_weighting = loss_weighting
         acp = np.asarray(model.sampler.constants.alphas_cumprod, np.float32)
         self._acp_ext = jnp.concatenate([jnp.ones((1,), jnp.float32), jnp.asarray(acp)])
+        self.mesh = mesh
         self._tx = optax.chain(
             optax.clip_by_global_norm(float(grad_clip)),
             optax.adamw(float(learning_rate), weight_decay=float(weight_decay)),
@@ -239,12 +245,31 @@ class ProgressiveDistiller:
 
     # ---- phase drivers -----------------------------------------------------------
     def _run(self, step_fn, teacher_params, batches, steps, key, log_every, tag):
-        student_params = jax.tree.map(jnp.copy, teacher_params)
-        opt_state = self._tx.init(student_params)
+        if self.mesh is not None:
+            from ..parallel.sharding import param_shardings_for_strategy
+
+            p_shard = param_shardings_for_strategy(teacher_params, self.mesh, "ddp")
+            # copy-then-place: device_put may alias an already-matching leaf,
+            # and the student is donated (CLAUDE.md invariant)
+            teacher_params = jax.device_put(teacher_params, p_shard)
+            student_params = jax.device_put(
+                jax.tree.map(jnp.copy, teacher_params), p_shard
+            )
+            opt_shard = param_shardings_for_strategy(
+                jax.eval_shape(self._tx.init, student_params), self.mesh, "ddp"
+            )
+            opt_state = jax.jit(self._tx.init, out_shardings=opt_shard)(student_params)
+        else:
+            student_params = jax.tree.map(jnp.copy, teacher_params)
+            opt_state = self._tx.init(student_params)
         losses = []
         for i in range(steps):
             key, sub = jax.random.split(key)
             batch = next(batches)
+            if self.mesh is not None:
+                from ..parallel.mesh import put_global_batch
+
+                batch = put_global_batch(self.mesh, batch)
             student_params, opt_state, loss = step_fn(
                 student_params, opt_state, teacher_params, batch, sub
             )

@@ -59,6 +59,7 @@ class ConsistencyConfig:
 
     seed: int = 0
     log_every: int = 50
+    devices: int = 1  # chips to distill on (-1 = all); >1 shards batches over a data mesh
 
 
 @hydra_runner(schema=ConsistencyConfig)
@@ -88,6 +89,15 @@ def main(cfg):
             for b in loader:
                 yield b
 
+    mesh = None
+    if int(cfg.devices) not in (0, 1):
+        from diffusion_model_nemo_tpu.parallel.sharding import make_strategy_mesh
+
+        all_dev = jax.devices()
+        n = len(all_dev) if int(cfg.devices) == -1 else min(int(cfg.devices), len(all_dev))
+        if n > 1:
+            mesh = make_strategy_mesh(all_dev[:n], "ddp")
+
     distiller = ConsistencyDistiller(
         model,
         grid_steps=cfg.grid_steps,
@@ -102,6 +112,7 @@ def main(cfg):
         loss=cfg.loss,
         teacher_order=cfg.teacher_order,
         mode=cfg.mode,
+        mesh=mesh,
     )
     params, losses = distiller.distill(
         batches(), steps=cfg.steps, key=jax.random.PRNGKey(cfg.seed),

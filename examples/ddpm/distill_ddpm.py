@@ -56,6 +56,7 @@ class DistillConfig:
 
     seed: int = 0
     log_every: int = 50
+    devices: int = 1  # chips to distill on (-1 = all); >1 shards batches over a data mesh
 
 
 @hydra_runner(schema=DistillConfig)
@@ -86,6 +87,15 @@ def main(cfg):
             for b in loader:
                 yield b
 
+    mesh = None
+    if int(cfg.devices) not in (0, 1):
+        from diffusion_model_nemo_tpu.parallel.sharding import make_strategy_mesh
+
+        all_dev = jax.devices()
+        n = len(all_dev) if int(cfg.devices) == -1 else min(int(cfg.devices), len(all_dev))
+        if n > 1:
+            mesh = make_strategy_mesh(all_dev[:n], "ddp")
+
     distiller = ProgressiveDistiller(
         model,
         student_objective=cfg.student_objective,
@@ -94,6 +104,7 @@ def main(cfg):
         grad_clip=cfg.grad_clip,
         loss_weighting=cfg.loss_weighting,
         guidance_scale=cfg.guidance_scale,
+        mesh=mesh,
     )
     transfer = cfg.transfer_steps if cfg.student_objective != model.sampler.objective else 0
     params, history = distiller.distill(

@@ -256,3 +256,42 @@ def test_ct_mode_needs_no_teacher_field():
     out = student.sample(batch_size=2, image_size=IMG, key=jax.random.PRNGKey(2))
     assert out.shape == (2, IMG, IMG, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_mesh_dp_matches_single_device():
+    """CD over the 8-way data mesh: losses and the final student equal the
+    single-device run (params replicated, batch sharded, SPMD reductions).
+
+    The optimizer is swapped for plain SGD: Adam's m/sqrt(v) (and global-norm
+    clipping) are invariant to gradient SCALE, so a psum-vs-pmean bug would be
+    invisible under the production tx — and Adam's early steps are ~sign(g)*lr,
+    which amplifies 1e-7 reduction-order noise on near-zero grads into 2*lr
+    param deltas. SGD is linear, so the mesh run must match tightly AND a
+    wrong-by-8x gradient reduction shifts params by ~8x the update (caught)."""
+    import optax
+
+    from diffusion_model_nemo_tpu.parallel.sharding import make_strategy_mesh
+
+    model = DDPM(cfg=_tiny_cfg())
+    model.init_params(jax.random.PRNGKey(0))
+    kwargs = dict(grid_steps=4, ema_decay=0.9)
+
+    def run(mesh):
+        dist = ConsistencyDistiller(model, mesh=mesh, **kwargs)
+        dist._tx = optax.sgd(1e-3)
+        return dist.distill(
+            _synthetic_batches(batch_size=8), steps=2,
+            key=jax.random.PRNGKey(3), log_every=1,
+        )
+
+    p_single, l_single = run(None)
+    mesh = make_strategy_mesh(jax.devices()[:8], "ddp")
+    p_mesh, l_mesh = run(mesh)
+    np.testing.assert_allclose(l_single, l_mesh, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        ),
+        p_single,
+        p_mesh,
+    )

@@ -290,3 +290,43 @@ def test_guidance_absorbed_exactly_once(monkeypatch):
         log_every=0,
     )
     assert seen == [True, False, False], seen
+
+
+def test_mesh_dp_matches_single_device():
+    """Progressive distillation over the 8-way data mesh: one halving phase's
+    losses and student equal the single-device run.
+
+    The optimizer is swapped for plain SGD: Adam's m/sqrt(v) (and global-norm
+    clipping) are invariant to gradient SCALE, so a psum-vs-pmean bug would be
+    invisible under the production tx — and Adam's early steps are ~sign(g)*lr,
+    which amplifies 1e-7 reduction-order noise on near-zero grads into 2*lr
+    param deltas. SGD is linear, so the mesh run must match tightly AND a
+    wrong-by-8x gradient reduction shifts params by ~8x the update (caught)."""
+    import optax
+
+    from diffusion_model_nemo_tpu.parallel.sharding import make_strategy_mesh
+
+    model = DDPM(cfg=_tiny_cfg("pred_noise", timesteps=16))
+    model.init_params(jax.random.PRNGKey(0))
+
+    def run(mesh):
+        dist = ProgressiveDistiller(
+            model, student_objective="pred_noise", mesh=mesh
+        )
+        dist._tx = optax.sgd(1e-3)
+        return dist.distill_phase(
+            model.params, "pred_noise", 8, _synthetic_batches(batch_size=8),
+            steps=2, key=jax.random.PRNGKey(3), log_every=1,
+        )
+
+    p_single, l_single = run(None)
+    mesh = make_strategy_mesh(jax.devices()[:8], "ddp")
+    p_mesh, l_mesh = run(mesh)
+    np.testing.assert_allclose(l_single, l_mesh, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        ),
+        p_single,
+        p_mesh,
+    )
