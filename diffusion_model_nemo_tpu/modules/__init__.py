@@ -4,6 +4,7 @@ from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
 from .dpm_solver import DPMSolverDiffusion
 from .karras_diffusion import KarrasDiffusion
 from .consistency_sampler import ConsistencySampler
+from .rectified_flow import RectifiedFlowProcess
 from .learned_gaussian_diffusion import LearnedGaussianDiffusion
 from .wavegrad_diffusion import WaveGradDiffusion
 from .parts import (

@@ -489,6 +489,15 @@ def serve(
     from ..models import restore_model_from_archive
 
     model = restore_model_from_archive(model_path, use_ema=False)
+    if (use_karras_sampler or use_dpm_solver or use_ddim_sampler) and not hasattr(
+        model.sampler, "constants"
+    ):
+        # flow-matching archives have no discrete noise schedule to re-grid;
+        # their sampler is already an ODE integrator (num_steps on the model)
+        raise ValueError(
+            f"{type(model).__name__} archives use their own ODE sampler; "
+            "DDIM/DPM/Karras swaps only apply to DDPM-family archives"
+        )
     if use_karras_sampler:
         # EDM sampler (modules/karras_diffusion.py): Heun + Karras rho-grid,
         # optional stochastic churn — quality-grade few-step sampling.

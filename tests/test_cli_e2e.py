@@ -184,3 +184,29 @@ def test_consistency_cli_roundtrip(tmp_path):
         "add_timestamp=false",
     )
     assert (out / "samples_grid.png").exists()
+
+
+def test_train_then_eval_rectified_flow_roundtrip(tmp_path):
+    exp = tmp_path / "exp"
+    _run(
+        "rectified_flow/train_rectified_flow.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliRF",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliRF/*/CliRF.dmn"))
+    assert len(archives) == 1, f"archive not produced under {exp}"
+
+    out = tmp_path / "samples"
+    _run(
+        "rectified_flow/eval_rectified_flow.py",
+        f"model_path={archives[0]}",
+        "batch_size=4",
+        "num_steps=4",
+        "solver=heun",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
+    assert len(list(out.glob("sample_*.png"))) == 4
