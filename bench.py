@@ -178,13 +178,18 @@ def _bench_training(
             params, opt, ema, batch, base_key, step_dev
         )
     metrics["train_loss"].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt, ema, step_dev, metrics = update(
-            params, opt, ema, batch, base_key, step_dev
-        )
-    metrics["train_loss"].block_until_ready()
-    sec = (time.perf_counter() - t0) / steps
+    # best of 3 windows: the remote dispatch tunnel has multi-second
+    # degradation episodes that otherwise land 2x swings in this leg
+    # (observed 5.7k vs 11.5k sps for the identical program minutes apart)
+    sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt, ema, step_dev, metrics = update(
+                params, opt, ema, batch, base_key, step_dev
+            )
+        metrics["train_loss"].block_until_ready()
+        sec = min(sec, (time.perf_counter() - t0) / steps)
     out = {"sps": round(batch_size / sec, 1), "ms_per_step": round(sec * 1e3, 3)}
     if fwd_flops is not None and peak is not None:
         out["mfu_est_pct"] = round(100.0 * 3.0 * fwd_flops / (sec * peak), 2)

@@ -1,5 +1,6 @@
 from .checkpoints import CheckpointManager, load_archive, save_archive
 from .consistency import ConsistencyDistiller
+from .reflow import ReflowTrainer
 from .distillation import ProgressiveDistiller, predict_eps_x0
 from .ema import ema_update, init_ema
 from .exp_manager import ExpManagerHooks, exp_manager
