@@ -2,6 +2,7 @@ from .abstract_diffusion_model import AbstractDiffusionModel
 from .ddpm import DDPM
 from .improved_ddpm import ImprovedDDPM
 from .conditional_ddpm import ConditionalDDPM
+from .edm import EDM
 from .rectified_flow import RectifiedFlow
 from .score_sde import ScoreSDE
 from .wavegrad_ddpm import WavegradDDPM
@@ -13,6 +14,7 @@ _MODEL_CLASSES = {
         DDPM,
         ImprovedDDPM,
         ConditionalDDPM,
+        EDM,
         RectifiedFlow,
         ScoreSDE,
         WavegradDDPM,

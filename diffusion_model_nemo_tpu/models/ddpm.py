@@ -132,6 +132,69 @@ class DDPM(AbstractDiffusionModel):
             "sample", build, shape, return_frames, mesh_cache_key(mesh), shard_axis
         )(params, key)
 
+    def inpaint(
+        self,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+        use_ema: bool = False,
+        jump_length: int = 10,
+        jump_n_sample: int = 10,
+        mesh=None,
+        shard_axis: str = "batch",
+    ):
+        """RePaint mask-conditioned generation (Lugmayr et al. 2022) — fill
+        the ``mask == 0`` region of ``known`` with any trained DDPM-family
+        model, no retraining (modules/repaint.py; beyond the reference's
+        sampling surface).
+
+        Args:
+            known: [B, H, W, C] images in [0, 1] display space.
+            mask: broadcastable to ``known``; 1 = keep pixel, 0 = generate.
+            jump_length / jump_n_sample: RePaint time-travel resampling
+                (``jump_n_sample=1`` disables it — plain blended reverse
+                chain). NFE ≈ timesteps * jump_n_sample.
+
+        Returns [B, H, W, C] in [0, 1]; the known region is exact.
+        """
+        from ..modules.gaussian_diffusion import GaussianDiffusion
+        from ..modules.repaint import repaint_loop
+
+        if not isinstance(self.sampler, GaussianDiffusion):
+            raise ValueError(
+                "inpaint requires a GaussianDiffusion-family sampler (got "
+                f"{type(self.sampler).__name__}); RePaint blends the ancestral chain"
+            )
+        assert known.ndim == 4, f"known is not a batch of images: {known.shape}"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shape = tuple(known.shape)
+        model_fn = self.get_model_fn()
+        sampler = self.sampler
+        from ..parallel import mesh_cache_key, sample_shardings
+
+        def build():
+            def fn(params, known, mask, key):
+                return repaint_loop(
+                    sampler, model_fn, params, known * 2.0 - 1.0, mask, key,
+                    jump_length=jump_length, jump_n_sample=jump_n_sample,
+                )
+
+            if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
+                return jax.jit(fn)
+            rep, out, _ = sample_shardings(mesh, shape, shard_axis, frames=True)
+            return jax.jit(
+                fn, in_shardings=(rep, out, out, rep), out_shardings=out
+            )
+
+        params = self.ema_params if use_ema else self.params
+        mask = jnp.broadcast_to(jnp.asarray(mask, jnp.float32), shape)
+        return self._jitted(
+            "inpaint", build, shape, jump_length, jump_n_sample,
+            mesh_cache_key(mesh), shard_axis,
+        )(params, jnp.asarray(known, jnp.float32), mask, key)
+
     def interpolate(
         self,
         x1: jnp.ndarray,

@@ -4,7 +4,9 @@ from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
 from .dpm_solver import DPMSolverDiffusion
 from .karras_diffusion import KarrasDiffusion
 from .consistency_sampler import ConsistencySampler
+from .edm_diffusion import EDMProcess
 from .rectified_flow import RectifiedFlowProcess
+from .repaint import repaint_loop, repaint_schedule
 from .learned_gaussian_diffusion import LearnedGaussianDiffusion
 from .wavegrad_diffusion import WaveGradDiffusion
 from .parts import (
