@@ -63,10 +63,11 @@ class RectifiedFlow(AbstractDiffusionModel):
 
     # ---- evaluation -----------------------------------------------------------
     def test_step(self, batch, batch_nb: int, key=None) -> Dict[str, jnp.ndarray]:
-        """Flow-matching validation loss (there is no discrete VLB for a
-        deterministic flow; held-out velocity-regression MSE is the
-        standard generalization metric)."""
+        """Held-out flow-matching loss + (unless ``model.compute_nll: false``)
+        the EXACT NLL in bits/dim via the change-of-variables ODE
+        (sampler.likelihood — the flow analogue of ScoreSDE's test_step)."""
         key = key if key is not None else jax.random.PRNGKey(batch_nb)
+        k_loss, k_nll = jax.random.split(key)
         proc = preprocess_batch(jax.tree.map(jnp.asarray, batch), key=None, train=False)
         samples = proc["pixel_values"]
         model_fn = self.get_model_fn(proc)
@@ -83,11 +84,16 @@ class RectifiedFlow(AbstractDiffusionModel):
 
             return jax.jit(fn)
 
-        loss_sum = self._jitted("fm_test", build, samples.shape)(self.params, samples, key)
-        return {
+        loss_sum = self._jitted("fm_test", build, samples.shape)(self.params, samples, k_loss)
+        out = {
             "fm_loss_sum": loss_sum,
             "num_samples": jnp.asarray(samples.shape[0], jnp.int32),
         }
+        if bool(self.cfg.get("compute_nll", True)):
+            bpd, _z, nfe = self.likelihood(samples, key=k_nll, model_fn=model_fn)
+            out["bpds"] = bpd.sum()
+            out["nfe"] = nfe
+        return out
 
     def test_epoch_end(self, outputs) -> Dict[str, float]:
         total = float(sum(np.asarray(o["num_samples"]) for o in outputs))
@@ -95,14 +101,60 @@ class RectifiedFlow(AbstractDiffusionModel):
             "test_fm_loss": float(sum(np.asarray(o["fm_loss_sum"]) for o in outputs))
             / max(total, 1.0),
         }
+        if outputs and "bpds" in outputs[0]:
+            result["test_total_bpd"] = (
+                float(sum(np.asarray(o["bpds"]) for o in outputs)) / max(total, 1.0)
+            )
+            result["avg_num_forward_evaluations"] = float(
+                sum(np.asarray(o["nfe"]) for o in outputs)
+            ) / max(len(outputs), 1)
         logging.info(f"RectifiedFlow test: {result}")
         return result
 
-    def calculate_bits_per_dimension(self, *args, **kwargs):
-        raise NotImplementedError(
-            "RectifiedFlow has no discrete VLB; use test_step's flow-matching "
-            "loss (set model.compute_bpd=false)"
-        )
+    def likelihood(
+        self,
+        x: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+        num_steps: Optional[int] = None,
+        hutchinson_type: str = "rademacher",
+        use_ema: bool = False,
+        model_fn=None,
+    ):
+        """Exact NLL in bits/dim (cached jit of sampler.likelihood). ``x`` in
+        [-1, 1] data space. Returns (bpd [B], latent z, nfe)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        model_fn = model_fn or self.get_model_fn()
+        sampler = self.sampler
+
+        def build():
+            return jax.jit(
+                lambda params, x, key: sampler.likelihood(
+                    model_fn, params, x, key,
+                    num_steps=num_steps, hutchinson_type=hutchinson_type,
+                )
+            )
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted(
+            "nll_rf", build, x.shape, num_steps, hutchinson_type, use_ema
+        )(params, x, key)
+
+    def calculate_bits_per_dimension(
+        self, x_start, params=None, key=None, max_batch_size: int = 32, **kwargs
+    ):
+        """The flow's bits/dim is the EXACT change-of-variables NLL, not the
+        discrete-chain VLB the DDPM-family method computes; delegates to
+        :meth:`likelihood` and returns the ``total_bpd`` key the Trainer's
+        periodic bpd logging expects."""
+        if params is not None and params is not self.params:
+            raise NotImplementedError(
+                "RectifiedFlow.calculate_bits_per_dimension uses the model's "
+                "own params; use likelihood(use_ema=True) for the EMA weights"
+            )
+        if max_batch_size > 0:
+            x_start = x_start[: min(max_batch_size, x_start.shape[0])]
+        bpd, _z, nfe = self.likelihood(x_start, key=key)
+        return {"total_bpd": bpd, "nfe": nfe}
 
     # ---- inference services ------------------------------------------------------
     def sample(

@@ -240,6 +240,94 @@ class RectifiedFlowProcess:
         )
         return z
 
+    def likelihood(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        data: jnp.ndarray,
+        key: jax.Array,
+        num_steps: Optional[int] = None,
+        hutchinson_type: str = "rademacher",
+    ):
+        """Exact NLL in bits/dim via the instantaneous change of variables.
+
+        The flow ODE transports data (t=0) to the N(0, I) prior (t=1), and
+
+            log p_0(x_0) = log p_1(z) + ∫_0^1 div v(x(t), t) dt
+
+        (continuous change of variables; Chen et al. 2018 eq. 4 — for the
+        deterministic flow this is the EXACT likelihood, unlike the discrete
+        DDPM-family VLB bound). The divergence is the Hutchinson–Skilling
+        estimate εᵀJε via one in-graph ``jax.vjp`` per evaluation
+        (reverse-mode, like sde_lib/likelihood.py — and compatible with the
+        custom_vjp Pallas kernels, which forward-mode isn't); unbiased for
+        any field, and per-probe EXACT when the Jacobian is diagonal
+        (rademacher ε has ε_i² = 1 — tests pin J = a·I). The augmented
+        [x, logdet] state integrates
+        on the process's own grid/solver with shared network evaluations
+        (Heun corrects both x and logdet; NFE = 2M, Euler M).
+
+        Conventions match the score-SDE estimator: data in [-1, 1] space,
+        bits/dim offset +7 = log2(128) for uint8-scaled data.
+
+        Returns (bpd [B], latent z, nfe).
+        """
+        if hutchinson_type not in ("rademacher", "gaussian"):
+            raise ValueError(
+                "`hutchinson_type` must be one of `rademacher` or `gaussian`"
+            )
+        shape = tuple(data.shape)
+        B = shape[0]
+        if hutchinson_type == "gaussian":
+            epsilon = jax.random.normal(key, shape, dtype=jnp.float32)
+        else:
+            epsilon = (
+                jax.random.randint(key, shape, 0, 2).astype(jnp.float32) * 2.0 - 1.0
+            )
+        eps_flat = epsilon.reshape(B, -1)
+        coefs = self._grid(num_steps, reverse=True)  # t: 0 -> 1
+        heun = self.solver == "heun"
+        M = int(coefs["t"].shape[0])
+
+        def v_div(x_flat, t):
+            def f(y):
+                y_img = y.reshape(shape)
+                out = model_fn(params, y_img, batched_t(self.model_time(t), y_img))
+                return out.reshape(y.shape)
+
+            v, pullback = jax.vjp(f, x_flat)
+            (eps_J,) = pullback(eps_flat)
+            div = jnp.sum(eps_J * eps_flat, axis=1)
+            return v, div
+
+        def euler_step(carry, cs):
+            x, ld = carry
+            v, dv = v_div(x, cs["t"])
+            return (x + cs["dt"] * v, ld + cs["dt"] * dv), None
+
+        def heun_step(carry, cs):
+            x, ld = carry
+            v1, d1 = v_div(x, cs["t"])
+            x_e = x + cs["dt"] * v1
+            v2, d2 = v_div(x_e, cs["t_next"])
+            return (
+                x + cs["dt"] * 0.5 * (v1 + v2),
+                ld + cs["dt"] * 0.5 * (d1 + d2),
+            ), None
+
+        flat = data.astype(jnp.float32).reshape(B, -1)
+        (z_flat, delta), _ = jax.lax.scan(
+            heun_step if heun else euler_step,
+            (flat, jnp.zeros((B,), jnp.float32)),
+            coefs,
+            unroll=_scan_unroll(),
+        )
+        D = int(np.prod(shape[1:]))
+        prior_logp = -0.5 * (jnp.sum(z_flat**2, axis=1) + D * np.log(2.0 * np.pi))
+        bpd = -(prior_logp + delta) / np.log(2.0) / D + 7.0
+        nfe = 2 * M if heun else M
+        return bpd, z_flat.reshape(shape), jnp.asarray(nfe, jnp.float32)
+
     def interpolate(
         self,
         model_fn: ModelFn,

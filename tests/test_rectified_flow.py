@@ -233,9 +233,10 @@ def test_model_training_decreases_loss_and_samples():
     assert mix.shape == x.shape
     assert np.all(np.isfinite(np.asarray(mix)))
 
-    # bits/dim is explicitly not defined for a flow
-    with pytest.raises(NotImplementedError):
-        model.calculate_bits_per_dimension(x)
+    # bits/dim = the EXACT change-of-variables NLL (not a discrete VLB)
+    bpd_dict = model.calculate_bits_per_dimension(x * 2.0 - 1.0)
+    assert bpd_dict["total_bpd"].shape == (x.shape[0],)
+    assert np.isfinite(np.asarray(bpd_dict["total_bpd"])).all()
 
 
 def test_archive_round_trip(tmp_path):
@@ -278,5 +279,100 @@ def test_test_step_aggregation():
     batch = next(_batches())
     out = model.test_step(batch, 0)
     assert int(out["num_samples"]) == 8
+    assert "bpds" in out  # exact NLL on by default
     agg = model.test_epoch_end([out, out])
     assert np.isfinite(agg["test_fm_loss"])
+    assert np.isfinite(agg["test_total_bpd"])
+    assert agg["avg_num_forward_evaluations"] == 8  # euler grid, M = 8
+
+    # opt-out path
+    cfg = _tiny_cfg()
+    model2 = RectifiedFlow(cfg={**cfg, "compute_nll": False})
+    model2.init_params(jax.random.PRNGKey(0))
+    out2 = model2.test_step(batch, 0)
+    assert "bpds" not in out2
+    agg2 = model2.test_epoch_end([out2])
+    assert "test_total_bpd" not in agg2
+
+
+# ---- 7. exact likelihood (change-of-variables NLL) -----------------------------------
+def test_likelihood_zero_field_is_prior():
+    """v = 0: z == x and bpd = -log N(x; 0, I)/(D ln 2) + 7 exactly."""
+
+    def fn(params, x, t_net):
+        return jnp.zeros_like(x)
+
+    p = RectifiedFlowProcess(sample_steps=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, IMG, IMG, 1)) * 0.5
+    bpd, z, nfe = p.likelihood(fn, None, x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-6)
+    D = IMG * IMG
+    x_np = np.asarray(x).reshape(3, -1)
+    prior = -0.5 * ((x_np**2).sum(1) + D * np.log(2 * np.pi))
+    expect = -prior / np.log(2) / D + 7.0
+    np.testing.assert_allclose(np.asarray(bpd), expect, rtol=1e-5)
+    assert float(nfe) == 4
+
+
+def test_likelihood_linear_field_closed_form():
+    """v = a x: z = x e^a, logdet = a D; rademacher probes are per-probe
+    exact for the diagonal Jacobian. Heun is 2nd-order on the exponential —
+    tolerance covers its truncation at M = 64."""
+    a = 0.3
+
+    def fn(params, x, t_net):
+        return a * x
+
+    p = RectifiedFlowProcess(sample_steps=64, solver="heun")
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, IMG, IMG, 1)) * 0.3
+    bpd, z, nfe = p.likelihood(fn, None, x, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x) * np.exp(a), rtol=1e-4)
+    D = IMG * IMG
+    z_np = np.asarray(x).reshape(2, -1) * np.exp(a)
+    prior = -0.5 * ((z_np**2).sum(1) + D * np.log(2 * np.pi))
+    logp0 = prior + a * D
+    expect = -logp0 / np.log(2) / D + 7.0
+    np.testing.assert_allclose(np.asarray(bpd), expect, rtol=1e-4)
+    assert float(nfe) == 128
+
+
+def test_likelihood_matches_analytic_gaussian_nll():
+    """End-to-end: the analytic marginal velocity field of data ~ N(0, s^2 I)
+    must assign exactly the N(0, s^2) NLL to any point."""
+    s = 0.6
+    s2 = s * s
+
+    def fn(params, x, t_net):
+        t = (t_net / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+        # v(x, t) = E[eps - x0 | x_t] = (t - (1-t) s^2) / ((1-t)^2 s^2 + t^2) * x
+        denom = (1.0 - t) ** 2 * s2 + t * t
+        return (t - (1.0 - t) * s2) / denom * x
+
+    p = RectifiedFlowProcess(sample_steps=128, solver="heun")
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, IMG, IMG, 1)) * s
+    bpd, _z, _ = p.likelihood(fn, None, x, jax.random.PRNGKey(5))
+    D = IMG * IMG
+    x_np = np.asarray(x).reshape(2, -1)
+    logp = -0.5 * ((x_np**2).sum(1) / s2 + D * np.log(2 * np.pi * s2))
+    expect = -logp / np.log(2) / D + 7.0
+    np.testing.assert_allclose(np.asarray(bpd), expect, rtol=2e-3)
+
+
+def test_likelihood_hutchinson_gaussian_unbiased():
+    """Gaussian probes: noisy per-probe but the mean over probes converges to
+    the rademacher (exact, diagonal J) value."""
+    a = -0.2
+
+    def fn(params, x, t_net):
+        return a * x
+
+    p = RectifiedFlowProcess(sample_steps=8)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, IMG, IMG, 1)) * 0.4
+    exact, _, _ = p.likelihood(fn, None, x, jax.random.PRNGKey(0))
+    ests = [
+        float(p.likelihood(fn, None, x, jax.random.PRNGKey(i), hutchinson_type="gaussian")[0][0])
+        for i in range(8)
+    ]
+    assert abs(np.mean(ests) - float(exact[0])) < 0.05
+    with pytest.raises(ValueError):
+        p.likelihood(fn, None, x, jax.random.PRNGKey(0), hutchinson_type="exact")
