@@ -5,6 +5,7 @@ from .conditional_ddpm import ConditionalDDPM
 from .edm import EDM
 from .rectified_flow import RectifiedFlow
 from .score_sde import ScoreSDE
+from .sr3 import SR3
 from .wavegrad_ddpm import WavegradDDPM
 from .wavegrad_vocoder import WavegradVocoderModel
 
@@ -17,6 +18,7 @@ _MODEL_CLASSES = {
         EDM,
         RectifiedFlow,
         ScoreSDE,
+        SR3,
         WavegradDDPM,
         WavegradVocoderModel,
     )

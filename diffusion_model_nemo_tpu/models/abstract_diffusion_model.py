@@ -80,7 +80,8 @@ class AbstractDiffusionModel:
         if key is None:
             key = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
         x = jnp.zeros(
-            (1, int(self.image_size), int(self.image_size), int(self.channels)), jnp.float32
+            (1, int(self.image_size), int(self.image_size), self._example_input_channels()),
+            jnp.float32,
         )
         t = self._example_time()
         kwargs = {}
@@ -96,6 +97,11 @@ class AbstractDiffusionModel:
 
     def _example_time(self) -> jnp.ndarray:
         return jnp.zeros((1,), jnp.float32)
+
+    def _example_input_channels(self) -> int:
+        """Channels of the network's image input (conditioned models — e.g.
+        SR3's [x_t, upsampled-LR] concat — override)."""
+        return int(self.channels)
 
     def model_fn(self, params, x, t, classes=None, dropout_rng=None):
         """Pure network application; subclasses may bind conditioning.
