@@ -6,3 +6,4 @@ from .inception import (
     load_inception_variables,
 )
 from .scores import inception_score, kernel_inception_distance, polynomial_kernel
+from .image_quality import psnr, ssim

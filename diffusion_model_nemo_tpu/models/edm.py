@@ -92,11 +92,17 @@ class EDM(AbstractDiffusionModel):
 
             return jax.jit(fn)
 
-        loss_sum = self._jitted("edm_test", build, samples.shape)(self.params, samples, key)
-        return {
+        k_loss, k_nll = jax.random.split(key)
+        loss_sum = self._jitted("edm_test", build, samples.shape)(self.params, samples, k_loss)
+        out = {
             "edm_loss_sum": loss_sum,
             "num_samples": jnp.asarray(samples.shape[0], jnp.int32),
         }
+        if bool(self.cfg.get("compute_nll", False)):
+            bpd, _z, nfe = self.likelihood(samples, key=k_nll, model_fn=model_fn)
+            out["bpds"] = bpd.sum()
+            out["nfe"] = nfe
+        return out
 
     def test_epoch_end(self, outputs) -> Dict[str, float]:
         total = float(sum(np.asarray(o["num_samples"]) for o in outputs))
@@ -104,14 +110,61 @@ class EDM(AbstractDiffusionModel):
             "test_edm_loss": float(sum(np.asarray(o["edm_loss_sum"]) for o in outputs))
             / max(total, 1.0),
         }
+        if outputs and "bpds" in outputs[0]:
+            result["test_total_bpd"] = (
+                float(sum(np.asarray(o["bpds"]) for o in outputs)) / max(total, 1.0)
+            )
+            result["avg_num_forward_evaluations"] = float(
+                sum(np.asarray(o["nfe"]) for o in outputs)
+            ) / max(len(outputs), 1)
         logging.info(f"EDM test: {result}")
         return result
 
-    def calculate_bits_per_dimension(self, *args, **kwargs):
-        raise NotImplementedError(
-            "EDM has no discrete VLB; use test_step's denoising loss "
-            "(set model.compute_bpd=false)"
-        )
+    def likelihood(
+        self,
+        x: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+        num_steps: Optional[int] = None,
+        hutchinson_type: str = "rademacher",
+        use_ema: bool = False,
+        model_fn=None,
+    ):
+        """NLL in bits/dim via the probability-flow ODE (cached jit of
+        sampler.likelihood; boundary-truncated at sigma_min like the
+        score-SDE estimator's eps cutoff). ``x`` in [-1, 1] data space.
+        Returns (bpd [B], latent z, nfe)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        model_fn = model_fn or self.get_model_fn()
+        sampler = self.sampler
+
+        def build():
+            return jax.jit(
+                lambda params, x, key: sampler.likelihood(
+                    model_fn, params, x, key,
+                    num_steps=num_steps, hutchinson_type=hutchinson_type,
+                )
+            )
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted(
+            "nll_edm", build, x.shape, num_steps, hutchinson_type, use_ema
+        )(params, x, key)
+
+    def calculate_bits_per_dimension(
+        self, x_start, params=None, key=None, max_batch_size: int = 32, **kwargs
+    ):
+        """EDM's bits/dim is the probability-flow-ODE NLL (boundary-truncated
+        at sigma_min), not the discrete-chain VLB; delegates to
+        :meth:`likelihood` with the Trainer-compatible ``total_bpd`` key."""
+        if params is not None and params is not self.params:
+            raise NotImplementedError(
+                "EDM.calculate_bits_per_dimension uses the model's own params; "
+                "use likelihood(use_ema=True) for the EMA weights"
+            )
+        if max_batch_size > 0:
+            x_start = x_start[: min(max_batch_size, x_start.shape[0])]
+        bpd, _z, nfe = self.likelihood(x_start, key=key)
+        return {"total_bpd": bpd, "nfe": nfe}
 
     # ---- inference services ------------------------------------------------------
     def sample(

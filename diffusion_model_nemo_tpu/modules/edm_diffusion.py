@@ -342,6 +342,97 @@ class EDMProcess:
         )
         return z
 
+    def likelihood(
+        self,
+        model_fn: ModelFn,
+        params: Any,
+        data: jnp.ndarray,
+        key: jax.Array,
+        num_steps: Optional[int] = None,
+        hutchinson_type: str = "rademacher",
+    ):
+        """NLL in bits/dim via the probability-flow ODE (sigma_min -> sigma_max).
+
+        Instantaneous change of variables along dx/dsigma = (x - D)/sigma:
+
+            log p(x) = log p_prior(z) + ∫_{sigma_min}^{sigma_max} div f dsigma,
+
+        with prior N(0, (sigma_max^2 + sigma_data^2) I) (the sigma_max marginal
+        of x0 + sigma eps with Var[x0] = sigma_data^2 — the same convention
+        VESDE's prior_logp uses, with the data-variance term that sigma_max >>
+        sigma_data usually makes negligible retained for small-sigma_max use).
+        The sigma < sigma_min tail is not integrated (data stands in for the
+        sigma_min marginal), so this is exact only up to that boundary — like
+        the score-SDE estimator's eps cutoff. Hutchinson divergence via
+        ``jax.vjp`` (reverse-mode, Pallas-kernel compatible); Heun corrects
+        both x and logdet with shared evaluations — 2 per transition, so
+        NFE = 2(sample_steps - 1) (Euler: sample_steps - 1).
+
+        Returns (bpd [B], latent z, nfe).
+        """
+        if hutchinson_type not in ("rademacher", "gaussian"):
+            raise ValueError(
+                "`hutchinson_type` must be one of `rademacher` or `gaussian`"
+            )
+        shape = tuple(data.shape)
+        B = shape[0]
+        if hutchinson_type == "gaussian":
+            epsilon = jax.random.normal(key, shape, dtype=jnp.float32)
+        else:
+            epsilon = (
+                jax.random.randint(key, shape, 0, 2).astype(jnp.float32) * 2.0 - 1.0
+            )
+        eps_flat = epsilon.reshape(B, -1)
+        sig = self._sigma_grid(num_steps)[:-1][::-1]  # ascending, no 0
+        sig_hat = jnp.asarray(np.ascontiguousarray(sig[:-1]), jnp.float32)
+        sig_next = jnp.asarray(np.ascontiguousarray(sig[1:]), jnp.float32)
+        dt = sig_next - sig_hat
+        M = int(sig_hat.shape[0])
+        heun = self.solver == "heun"
+
+        def f_div(x_flat, sigma):
+            def f(y):
+                y_img = y.reshape(shape)
+                D = self.denoise(model_fn, params, y_img, sigma, clip=False)
+                return ((y_img - D) / jnp.maximum(sigma, 1e-12)).reshape(y.shape)
+
+            f_val, pullback = jax.vjp(f, x_flat)
+            (eps_J,) = pullback(eps_flat)
+            div = jnp.sum(eps_J * eps_flat, axis=1)
+            return f_val, div
+
+        def euler_step(carry, cs):
+            x, ld = carry
+            v, dv = f_div(x, cs[0])
+            return (x + cs[2] * v, ld + cs[2] * dv), None
+
+        def heun_step(carry, cs):
+            x, ld = carry
+            v1, d1 = f_div(x, cs[0])
+            x_e = x + cs[2] * v1
+            v2, d2 = f_div(x_e, cs[1])
+            return (
+                x + cs[2] * 0.5 * (v1 + v2),
+                ld + cs[2] * 0.5 * (d1 + d2),
+            ), None
+
+        flat = data.astype(jnp.float32).reshape(B, -1)
+        (z_flat, delta), _ = jax.lax.scan(
+            heun_step if heun else euler_step,
+            (flat, jnp.zeros((B,), jnp.float32)),
+            (sig_hat, sig_next, dt),
+            unroll=_scan_unroll(),
+        )
+        D_dims = int(np.prod(shape[1:]))
+        prior_var = self.sigma_max**2 + self.sigma_data**2
+        prior_logp = -0.5 * (
+            jnp.sum(z_flat**2, axis=1) / prior_var
+            + D_dims * np.log(2.0 * np.pi * prior_var)
+        )
+        bpd = -(prior_logp + delta) / np.log(2.0) / D_dims + 7.0
+        nfe = 2 * M if heun else M
+        return bpd, z_flat.reshape(shape), jnp.asarray(nfe, jnp.float32)
+
     def interpolate(
         self,
         model_fn: ModelFn,

@@ -133,6 +133,13 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         """Descending (t, t_next) pairs; reference
         generalized_gaussian_diffusion.py:110-112."""
         stride = self.timesteps // self.ddim_timesteps
+        if stride < 1:
+            raise ValueError(
+                f"ddim_timesteps={self.ddim_timesteps} exceeds the model's "
+                f"{self.timesteps}-step training schedule; choose "
+                f"ddim_timesteps <= timesteps (the reference crashes with a "
+                f"bare zero-stride range() here)"
+            )
         sequence = list(range(0, self.timesteps, stride))
         sequence_next = [-1] + sequence[:-1]
         return (

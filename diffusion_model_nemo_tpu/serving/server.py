@@ -22,6 +22,15 @@ Endpoints (stdlib http.server; zero extra dependencies):
                                  "guidance_scale": W? (conditional models),
                            "format": "png"|"npy"} →
                            {"images": [b64-PNG, ...]} or raw .npy bytes
+  POST /super_resolve    → (SR3 archives) JSON {"images_npy": b64 of an
+                           np.save'd [N, h, w, C] array (uint8 or [0,1]
+                           float), "seed": S?, "format": "png"|"npy"} →
+                           super-resolved [N, h*s, w*s, C] outputs. SR3
+                           archives serve ONLY this route (/sample needs no
+                           input and is rejected); generation archives
+                           reject it. Same batching machinery: requests
+                           coalesce into one fixed-shape device batch,
+                           padded rows are computed-and-discarded.
 """
 
 from __future__ import annotations
@@ -47,6 +56,7 @@ class _Request:
     seed: Optional[int]
     label: Optional[int]
     guidance_scale: Optional[float] = None
+    images: Optional[np.ndarray] = None  # SR mode: LR inputs [n, h, w, C] in [0,1]
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -80,6 +90,12 @@ class BatchingSampler:
         self.model = model
         self.image_size = int(image_size)
         self.max_batch = int(max_batch)
+        # SR3 archives serve super-resolution (requests carry LR inputs);
+        # their unconditional /sample has nothing to condition on.
+        self.sr_mode = hasattr(model, "super_resolve")
+        self.lr_size = (
+            self.image_size // int(model.scale_factor) if self.sr_mode else None
+        )
         # Multi-chip serving: shard each device batch over the mesh's data
         # axis (params replicated) — the same cached-jit scan, partitioned by
         # XLA SPMD. The compiled shape is global, so it must divide evenly.
@@ -126,7 +142,14 @@ class BatchingSampler:
     # ---- lifecycle -----------------------------------------------------------
     def start(self, warmup: bool = True) -> "BatchingSampler":
         if warmup:
-            self._device_sample(self.max_batch, self._next_key(), None)
+            if self.sr_mode:
+                zeros = np.zeros(
+                    (self.max_batch, self.lr_size, self.lr_size, int(self.model.channels)),
+                    np.float32,
+                )
+                np.asarray(self._dispatch_sr(zeros, self._next_key()))
+            else:
+                self._device_sample(self.max_batch, self._next_key(), None)
             self._warm = True
         self._worker.start()
         return self
@@ -150,6 +173,11 @@ class BatchingSampler:
         timeout: Optional[float] = None,
         guidance_scale: Optional[float] = None,
     ) -> np.ndarray:
+        if self.sr_mode:
+            raise ValueError(
+                "this archive is an SR3 super-resolution model: POST "
+                "/super_resolve with input images (submit_sr), not /sample"
+            )
         if guidance_scale is not None and not hasattr(self.model, "_cfg_model_fn"):
             raise ValueError("guidance_scale requires a class-conditional model")
         if num_images < 1:
@@ -176,6 +204,53 @@ class BatchingSampler:
             self._cv.notify_all()
         if not req.done.wait(timeout=timeout):
             raise TimeoutError(f"sample request not served within {timeout}s")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def submit_sr(
+        self,
+        images: np.ndarray,
+        seed: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """Super-resolve LR inputs [n, h, w, C] (float in [0,1] or uint8).
+
+        Blocks until the worker produces the [n, h*s, w*s, C] outputs. Like
+        ``submit``: oversized requests are chunked at the compiled shape,
+        seeded requests run in their own (zero-padded) batch so the output
+        is a pure function of (archive, seed, images)."""
+        if not self.sr_mode:
+            raise ValueError("submit_sr requires an SR3 archive (use submit)")
+        images = np.asarray(images)
+        if images.ndim != 4:
+            raise ValueError(f"images must be [n, h, w, C], got {images.shape}")
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        images = images.astype(np.float32)
+        expect = (self.lr_size, self.lr_size, int(self.model.channels))
+        if tuple(images.shape[1:]) != expect:
+            raise ValueError(
+                f"LR inputs must be [n, {expect[0]}, {expect[1]}, {expect[2]}] "
+                f"for this archive (scale {self.model.scale_factor}); got {images.shape}"
+            )
+        n = images.shape[0]
+        if n < 1:
+            raise ValueError("need at least one input image")
+        if n > self.max_batch:
+            parts = []
+            for i, off in enumerate(range(0, n, self.max_batch)):
+                chunk_seed = None if seed is None else seed + i
+                parts.append(
+                    self.submit_sr(images[off : off + self.max_batch], chunk_seed, timeout)
+                )
+            return np.concatenate(parts, axis=0)
+        req = _Request(num_images=n, seed=seed, label=None, images=images)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify_all()
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError(f"super_resolve request not served within {timeout}s")
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
@@ -224,6 +299,27 @@ class BatchingSampler:
 
     def _device_sample(self, batch: int, key, label: Optional[int]) -> np.ndarray:
         return np.asarray(self._dispatch_sample(batch, key, label))
+
+    def _dispatch_sr(self, images: np.ndarray, key):
+        """Enqueue one fixed-shape super-resolve batch (async, like
+        ``_dispatch_sample``): pad the stacked LR inputs to ``max_batch``
+        rows (padding rows are computed and discarded — fixed shapes keep
+        the one-compile invariant)."""
+        import jax.numpy as jnp
+
+        n = images.shape[0]
+        if n < self.max_batch:
+            pad = np.zeros((self.max_batch - n,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        kwargs = {}
+        if self.mesh is not None:
+            kwargs["mesh"] = self.mesh
+        out = self.model.super_resolve(
+            jnp.asarray(images), key=key, use_ema=self.use_ema, **kwargs
+        )
+        if self._to_u8 is not None:
+            out = self._to_u8(out)
+        return out
 
     def _take_group(self) -> List[_Request]:
         """Pop a coalescable group: same label; seeded requests go alone."""
@@ -317,13 +413,14 @@ class BatchingSampler:
                     )
                     t0 = time.perf_counter()
                     # Fixed-shape call: always max_batch; surplus dropped.
-                    dispatched = (
-                        group,
-                        self._dispatch_sample(
+                    if self.sr_mode:
+                        stacked = np.concatenate([r.images for r in group], axis=0)
+                        out_dev = self._dispatch_sr(stacked, key)
+                    else:
+                        out_dev = self._dispatch_sample(
                             self.max_batch, key, group[0].label, group[0].guidance_scale
-                        ),
-                        t0,
-                    )
+                        )
+                    dispatched = (group, out_dev, t0)
                 except Exception as e:
                     for r in group:
                         r.error = f"{type(e).__name__}: {e}"
@@ -383,29 +480,44 @@ class SamplingServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._json(200, {"status": "ok", "warm": server.batcher.warm})
+                    self._json(
+                        200,
+                        {
+                            "status": "ok",
+                            "warm": server.batcher.warm,
+                            "mode": "super_resolve" if server.batcher.sr_mode else "sample",
+                        },
+                    )
                 elif self.path == "/stats":
                     self._json(200, server.batcher.snapshot_stats())
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/sample":
+                if self.path not in ("/sample", "/super_resolve"):
                     self._json(404, {"error": f"no route {self.path}"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    n = int(payload.get("num_images", 1))
                     seed = payload.get("seed")
-                    label = payload.get("label")
-                    guidance = payload.get("guidance_scale")
                     fmt = payload.get("format", "png")
                     timeout = float(payload.get("timeout", 600.0))
-                    images = server.batcher.submit(
-                        n, seed=seed, label=label, timeout=timeout,
-                        guidance_scale=guidance,
-                    )
+                    if self.path == "/super_resolve":
+                        blob = payload.get("images_npy")
+                        if not blob:
+                            self._json(400, {"error": "images_npy (base64 of an np.save'd [N,h,w,C] array) is required"})
+                            return
+                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                        images = server.batcher.submit_sr(arr, seed=seed, timeout=timeout)
+                    else:
+                        n = int(payload.get("num_images", 1))
+                        label = payload.get("label")
+                        guidance = payload.get("guidance_scale")
+                        images = server.batcher.submit(
+                            n, seed=seed, label=label, timeout=timeout,
+                            guidance_scale=guidance,
+                        )
                     if fmt == "npy":
                         buf = io.BytesIO()
                         np.save(buf, images)

@@ -210,3 +210,111 @@ def test_train_then_eval_rectified_flow_roundtrip(tmp_path):
     )
     assert (out / "samples_grid.png").exists()
     assert len(list(out.glob("sample_*.png"))) == 4
+
+
+def test_rectified_flow_nll_test_cli(tmp_path):
+    """train → test_rectified_flow.py: exact change-of-variables NLL CLI."""
+    exp = tmp_path / "exp"
+    _run(
+        "rectified_flow/train_rectified_flow.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliRFN",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliRFN/*/CliRFN.dmn"))
+    assert len(archives) == 1
+    proc = _run(
+        "rectified_flow/test_rectified_flow.py",
+        f"model_path={archives[0]}",
+        "dataset_name=synthetic",
+        "batch_size=8",
+        "limit_test_batches=1",
+    )
+    blob = proc.stdout + proc.stderr
+    assert "test_total_bpd" in blob and "test_fm_loss" in blob
+
+
+def test_train_then_eval_edm_roundtrip(tmp_path):
+    """EDM family: train → churned Heun eval from the archive."""
+    exp = tmp_path / "exp"
+    _run(
+        "edm/train_edm.py",
+        *[o if not o.startswith("model.timesteps") else "model.timesteps=4" for o in TINY_TRAIN],
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliEDM",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliEDM/*/CliEDM.dmn"))
+    assert len(archives) == 1, f"archive not produced under {exp}"
+
+    out = tmp_path / "samples"
+    _run(
+        "edm/eval_edm.py",
+        f"model_path={archives[0]}",
+        "batch_size=4",
+        "num_steps=3",
+        "s_churn=1.0",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
+    assert len(list(out.glob("sample_*.png"))) == 4
+
+
+def test_train_then_eval_sr3_roundtrip(tmp_path):
+    """SR3 family: train → degrade+super-resolve eval with PSNR report."""
+    exp = tmp_path / "exp"
+    _run(
+        "sr3/train_sr3.py",
+        *TINY_TRAIN,
+        "model.scale_factor=2",
+        "model.compute_bpd=false",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliSR3",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliSR3/*/CliSR3.dmn"))
+    assert len(archives) == 1, f"archive not produced under {exp}"
+
+    out = tmp_path / "sr"
+    proc = _run(
+        "sr3/eval_sr3.py",
+        f"model_path={archives[0]}",
+        "dataset_name=synthetic",
+        "batch_size=4",
+        "use_ddim_sampler=true",
+        "ddim_timesteps=4",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert "PSNR vs ground truth" in (proc.stdout + proc.stderr)
+    assert (out / "sr.png").exists() and (out / "hr.png").exists()
+
+
+def test_inpaint_cli_from_ddpm_archive(tmp_path):
+    """RePaint CLI: train a tiny DDPM, then self-inpaint with a center mask."""
+    exp = tmp_path / "exp"
+    _run(
+        "ddpm/train_ddpm.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliInp",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliInp/*/CliInp.dmn"))
+    assert len(archives) == 1
+
+    out = tmp_path / "inpainted"
+    _run(
+        "ddpm/inpaint_ddpm.py",
+        f"model_path={archives[0]}",
+        "batch_size=2",
+        "mask=center",
+        "jump_length=3",
+        "jump_n_sample=2",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    for name in ("input.png", "masked.png", "inpainted.png"):
+        assert (out / name).exists()

@@ -269,6 +269,104 @@ def test_serve_dpm_solver_swap(tmp_path):
         server.shutdown()
 
 
+def _tiny_sr3_model():
+    import jax
+
+    from tests.test_sr3 import _model
+
+    return _model()
+
+
+def test_sr3_serving_roundtrip():
+    """SR3 archives serve /super_resolve: submit_sr round trip, seeded
+    determinism, input validation, and /sample rejected."""
+    m = _tiny_sr3_model()
+    scale = int(m.scale_factor)
+    b = BatchingSampler(
+        m, image_size=IMG, max_batch=4, linger_ms=1.0, use_ema=False,
+        transfer="float32",
+    ).start()
+    try:
+        assert b.sr_mode and b.lr_size == IMG // scale
+        with pytest.raises(ValueError, match="super_resolution|super_resolve|SR3"):
+            b.submit(1, timeout=30)
+        lr = np.random.default_rng(0).random((3, IMG // scale, IMG // scale, 1)).astype(np.float32)
+        out = b.submit_sr(lr, seed=3, timeout=120)
+        assert out.shape == (3, IMG, IMG, 1)
+        assert np.isfinite(out).all()
+        again = b.submit_sr(lr, seed=3, timeout=120)
+        assert np.array_equal(out, again)
+        # uint8 inputs accepted (normalized to [0,1])
+        u8 = (lr * 255).astype(np.uint8)
+        out_u8 = b.submit_sr(u8, seed=3, timeout=120)
+        assert out_u8.shape == (3, IMG, IMG, 1)
+        # oversized requests chunk at the compiled shape
+        big = np.random.default_rng(1).random((6, IMG // scale, IMG // scale, 1)).astype(np.float32)
+        out_big = b.submit_sr(big, seed=7, timeout=120)
+        assert out_big.shape == (6, IMG, IMG, 1)
+        with pytest.raises(ValueError, match="LR inputs"):
+            b.submit_sr(np.zeros((1, IMG, IMG, 1), np.float32), timeout=30)
+        with pytest.raises(ValueError, match=r"\[n, h, w, C\]"):
+            b.submit_sr(np.zeros((IMG, IMG, 1), np.float32), timeout=30)
+    finally:
+        b.stop()
+
+
+def test_sr3_http_surface():
+    import base64
+    import io
+
+    m = _tiny_sr3_model()
+    scale = int(m.scale_factor)
+    b = BatchingSampler(
+        m, image_size=IMG, max_batch=4, linger_ms=1.0, use_ema=False,
+        transfer="float32",
+    ).start()
+    server = SamplingServer(b, host="127.0.0.1", port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["mode"] == "super_resolve"
+
+        lr = np.random.default_rng(2).random((2, IMG // scale, IMG // scale, 1)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, lr)
+        req = urllib.request.Request(
+            f"{base}/super_resolve",
+            data=json.dumps(
+                {"images_npy": base64.b64encode(buf.getvalue()).decode(),
+                 "seed": 1, "format": "npy"}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            arr = np.load(io.BytesIO(r.read()))
+        assert arr.shape == (2, IMG, IMG, 1)
+
+        # missing payload -> 400
+        req = urllib.request.Request(
+            f"{base}/super_resolve", data=b"{}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+        # /sample on an SR archive -> error (route exists, mode mismatch)
+        req = urllib.request.Request(
+            f"{base}/sample", data=json.dumps({"num_images": 1}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+    finally:
+        server._httpd.shutdown()
+        server._httpd.server_close()
+        b.stop()
+
+
 def test_guidance_rejected_on_unconditional_model(batcher):
     with pytest.raises(ValueError, match="conditional"):
         batcher.submit(1, guidance_scale=2.0, timeout=30)
