@@ -2,6 +2,7 @@ from .abstract_diffusion_model import AbstractDiffusionModel
 from .ddpm import DDPM
 from .improved_ddpm import ImprovedDDPM
 from .conditional_ddpm import ConditionalDDPM
+from .conditional_edm import ConditionalEDM
 from .edm import EDM
 from .rectified_flow import RectifiedFlow
 from .score_sde import ScoreSDE
@@ -15,6 +16,7 @@ _MODEL_CLASSES = {
         DDPM,
         ImprovedDDPM,
         ConditionalDDPM,
+        ConditionalEDM,
         EDM,
         RectifiedFlow,
         ScoreSDE,

@@ -47,6 +47,14 @@ class EDM(AbstractDiffusionModel):
         # representative conditioning magnitude: c_noise at sigma = 1 is 0
         return jnp.zeros((1,), jnp.float32)
 
+    def _bind_classes(self, labels):
+        """model_fn bound to per-call labels. Labels are explicit jit
+        ARGUMENTS (not closure captures) so `_jitted`-cached graphs stay
+        valid across batches; the base family has no class conditioning and
+        ignores them (ConditionalEDM overrides)."""
+        del labels
+        return self.get_model_fn()
+
     # ---- training ------------------------------------------------------------
     def training_step(self, params, batch, key, step):
         """Pure: (params, raw uint8 batch, key, step) -> (loss, metrics).
@@ -76,10 +84,12 @@ class EDM(AbstractDiffusionModel):
         key = key if key is not None else jax.random.PRNGKey(batch_nb)
         proc = preprocess_batch(jax.tree.map(jnp.asarray, batch), key=None, train=False)
         samples = proc["pixel_values"]
-        model_fn = self.get_model_fn(proc)
+        labels = proc.get("label")
+        labels = labels.astype(jnp.int32) if labels is not None else None
 
         def build():
-            def fn(params, samples, key):
+            def fn(params, samples, labels, key):
+                model_fn = self._bind_classes(labels)
                 k_sig, k_noise = jax.random.split(key)
                 sigma = self.sampler.sample_sigmas(k_sig, samples.shape[0])
                 noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
@@ -93,13 +103,15 @@ class EDM(AbstractDiffusionModel):
             return jax.jit(fn)
 
         k_loss, k_nll = jax.random.split(key)
-        loss_sum = self._jitted("edm_test", build, samples.shape)(self.params, samples, k_loss)
+        loss_sum = self._jitted("edm_test", build, samples.shape, labels is not None)(
+            self.params, samples, labels, k_loss
+        )
         out = {
             "edm_loss_sum": loss_sum,
             "num_samples": jnp.asarray(samples.shape[0], jnp.int32),
         }
         if bool(self.cfg.get("compute_nll", False)):
-            bpd, _z, nfe = self.likelihood(samples, key=k_nll, model_fn=model_fn)
+            bpd, _z, nfe = self.likelihood(samples, key=k_nll, labels=labels)
             out["bpds"] = bpd.sum()
             out["nfe"] = nfe
         return out
@@ -127,28 +139,30 @@ class EDM(AbstractDiffusionModel):
         num_steps: Optional[int] = None,
         hutchinson_type: str = "rademacher",
         use_ema: bool = False,
-        model_fn=None,
+        labels=None,
     ):
         """NLL in bits/dim via the probability-flow ODE (cached jit of
         sampler.likelihood; boundary-truncated at sigma_min like the
-        score-SDE estimator's eps cutoff). ``x`` in [-1, 1] data space.
-        Returns (bpd [B], latent z, nfe)."""
+        score-SDE estimator's eps cutoff). ``x`` in [-1, 1] data space;
+        ``labels`` ([B] int32) conditions class-conditional families (the
+        base family ignores them). Returns (bpd [B], latent z, nfe)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        model_fn = model_fn or self.get_model_fn()
         sampler = self.sampler
 
         def build():
-            return jax.jit(
-                lambda params, x, key: sampler.likelihood(
-                    model_fn, params, x, key,
+            def fn(params, x, labels, key):
+                return sampler.likelihood(
+                    self._bind_classes(labels), params, x, key,
                     num_steps=num_steps, hutchinson_type=hutchinson_type,
                 )
-            )
+
+            return jax.jit(fn)
 
         params = self.ema_params if use_ema else self.params
         return self._jitted(
-            "nll_edm", build, x.shape, num_steps, hutchinson_type, use_ema
-        )(params, x, key)
+            "nll_edm", build, x.shape, num_steps, hutchinson_type, use_ema,
+            labels is not None,
+        )(params, x, labels, key)
 
     def calculate_bits_per_dimension(
         self, x_start, params=None, key=None, max_batch_size: int = 32, **kwargs
@@ -177,13 +191,16 @@ class EDM(AbstractDiffusionModel):
         num_steps: Optional[int] = None,
         mesh=None,
         shard_axis: str = "batch",
-        **kwargs,
+        model_fn=None,
+        cache_tag: tuple = (),
     ):
         """Cached-jit fused Heun/Euler integration; [B, H, W, C] in [0, 1].
-        Mesh semantics identical to DDPM.sample (batch or spatial sharding)."""
+        Mesh semantics identical to DDPM.sample (batch or spatial sharding).
+        ``model_fn``/``cache_tag`` let conditional subclasses substitute a
+        bound denoiser (the tag keys the jit cache for the closure)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
-        model_fn = self.get_model_fn()
+        model_fn = model_fn or self.get_model_fn()
         sampler = self.sampler
         from ..parallel import mesh_cache_key, sample_shardings
 
@@ -205,7 +222,7 @@ class EDM(AbstractDiffusionModel):
         params = self.ema_params if use_ema else self.params
         return self._jitted(
             "sample_edm", build, shape, return_frames, num_steps,
-            mesh_cache_key(mesh), shard_axis,
+            mesh_cache_key(mesh), shard_axis, *cache_tag,
         )(params, key)
 
     def encode(self, x0: jnp.ndarray, num_steps: Optional[int] = None, use_ema: bool = False):

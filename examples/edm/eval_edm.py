@@ -16,7 +16,7 @@ import numpy as np
 
 from common import hydra_runner
 
-from diffusion_model_nemo_tpu.models import EDM
+from diffusion_model_nemo_tpu.models import restore_model_from_archive
 from diffusion_model_nemo_tpu.utils import logging
 from diffusion_model_nemo_tpu.utils.image import save_animation, save_image_grid, to_uint8
 
@@ -44,11 +44,15 @@ class EvalConfig:
     seed: Optional[int] = None
     use_ema: bool = True
 
+    # class-conditional archives (ConditionalEDM)
+    label: int = -1           # class to sample; -1 = unconditional (null class)
+    guidance_scale: float = -1.0  # classifier-free guidance weight; -1 = off
+
 
 @hydra_runner(config_path=None, config_name="EvalConfig", schema=EvalConfig)
 def main(cfg):
     cfg = EvalConfig(**cfg)
-    model = EDM.restore_from(cfg.model_path, use_ema=cfg.use_ema)
+    model = restore_model_from_archive(cfg.model_path, use_ema=cfg.use_ema)
     if cfg.solver or cfg.s_churn >= 0.0:
         sampler_cfg = dict(model.cfg.sampler)
         if cfg.solver:
@@ -61,12 +65,18 @@ def main(cfg):
     seed = cfg.seed if cfg.seed is not None else 0
     key = jax.random.PRNGKey(seed)
 
+    sample_kwargs = {}
+    if cfg.label >= 0:
+        sample_kwargs["label"] = cfg.label
+    if cfg.guidance_scale >= 0.0:
+        sample_kwargs["guidance_scale"] = cfg.guidance_scale
     out = model.sample(
         batch_size=cfg.batch_size,
         image_size=image_size,
         key=key,
         num_steps=(cfg.num_steps if cfg.num_steps > 0 else None),
         return_frames=cfg.show_diffusion,
+        **sample_kwargs,
     )
     frames = None
     if cfg.show_diffusion:

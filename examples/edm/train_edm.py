@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from common import hydra_runner
 
 from diffusion_model_nemo_tpu.config import to_yaml
-from diffusion_model_nemo_tpu.models import EDM
+from diffusion_model_nemo_tpu.models import EDM, ConditionalEDM
 from diffusion_model_nemo_tpu.training import Trainer, exp_manager
 from diffusion_model_nemo_tpu.utils import logging
 
@@ -28,7 +28,10 @@ def main(cfg):
 
     trainer = Trainer(**cfg.trainer)
     hooks = exp_manager(trainer, cfg.get("exp_manager"))
-    model = EDM(cfg=cfg.model, trainer=trainer)
+    # model.num_classes selects the class-conditional family (CFG-style
+    # joint training; sample with label=/guidance_scale= at eval)
+    cls = ConditionalEDM if cfg.model.get("num_classes") else EDM
+    model = cls(cfg=cfg.model, trainer=trainer)
     model.maybe_init_from_pretrained_checkpoint(cfg)
 
     resume_state = hooks.resume_state if hooks else None

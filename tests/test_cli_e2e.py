@@ -262,6 +262,46 @@ def test_train_then_eval_edm_roundtrip(tmp_path):
     assert len(list(out.glob("sample_*.png"))) == 4
 
 
+def test_conditional_edm_train_guided_eval_and_nll(tmp_path):
+    """Conditional EDM: num_classes selects the conditional family; guided
+    eval (label + guidance_scale) and the test CLI's conditional NLL both
+    run from the archive."""
+    exp = tmp_path / "exp"
+    _run(
+        "edm/train_edm.py",
+        *[o if not o.startswith("model.timesteps") else "model.timesteps=4" for o in TINY_TRAIN],
+        "model.num_classes=3",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliCEDM",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    archives = list(exp.glob("CliCEDM/*/CliCEDM.dmn"))
+    assert len(archives) == 1
+
+    out = tmp_path / "samples"
+    _run(
+        "edm/eval_edm.py",
+        f"model_path={archives[0]}",
+        "batch_size=2",
+        "num_steps=3",
+        "label=1",
+        "guidance_scale=2.0",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
+
+    proc = _run(
+        "edm/test_edm.py",
+        f"model_path={archives[0]}",
+        "dataset_name=synthetic",
+        "batch_size=4",
+        "limit_test_batches=1",
+    )
+    blob = proc.stdout + proc.stderr
+    assert "test_total_bpd" in blob and "test_edm_loss" in blob
+
+
 def test_train_then_eval_sr3_roundtrip(tmp_path):
     """SR3 family: train → degrade+super-resolve eval with PSNR report."""
     exp = tmp_path / "exp"
