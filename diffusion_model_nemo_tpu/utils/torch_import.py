@@ -24,7 +24,7 @@ from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["convert_unet_state_dict", "strip_prefix"]
+__all__ = ["convert_unet_state_dict", "export_unet_state_dict", "strip_prefix"]
 
 
 def strip_prefix(state_dict: Dict[str, Any], prefix: str = "diffusion_model.") -> Dict[str, Any]:
@@ -245,3 +245,83 @@ def convert_unet_state_dict(
     if errors:
         raise ValueError("torch checkpoint import failed:\n  " + "\n  ".join(errors))
     return result
+
+
+# ---- export (the inverse direction) ------------------------------------------
+# Each forward transform's exact inverse — export(import(x)) and
+# import(export(x)) are both identities, which the round-trip tests pin.
+def _conv_inv(w):  # flax HWIO -> torch OIHW
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def _conv_transpose_inv(w):  # flax HWIO + spatial flip -> torch IOHW
+    return np.ascontiguousarray(np.transpose(np.asarray(w)[::-1, ::-1], (2, 3, 0, 1)))
+
+
+def _dense_inv(w):  # flax [in, out] -> torch [out, in]
+    return np.ascontiguousarray(np.transpose(w))
+
+
+_INVERSE: Dict[Callable, Callable] = {
+    _conv: _conv_inv,
+    _conv_transpose: _conv_transpose_inv,
+    _dense: _dense_inv,
+    _identity: _identity,
+}
+
+
+def export_unet_state_dict(
+    params: Dict[str, Any],
+    use_convnext: bool = False,
+    resnet_block_order: str = "bn_act_conv",
+    prefix: str = "",
+) -> Dict[str, np.ndarray]:
+    """Convert a Flax U-Net parameter tree into a reference-layout torch
+    ``state_dict`` (numpy float32 values keyed by the reference's module
+    paths) — the exact inverse of :func:`convert_unet_state_dict`, using the
+    SAME key-derivation rules, so the two functions round-trip bitwise.
+
+    The migration path back OUT of this framework: weights trained here load
+    into the reference's torch ``Unet``/``WaveGradUNet`` with
+    ``load_state_dict`` (reference modules/unet.py:41-121). A reference
+    WaveGradUNet additionally constructs up-path FiLM modules its forward
+    never calls (unet.py:206-209); this tree never created them, so load
+    WaveGrad exports with ``strict=False`` (the missing keys are the dead
+    modules — they carry no information).
+
+    ``prefix`` is prepended to every key (e.g. ``"diffusion_model."`` to
+    drop the result into a NeMo/PTL checkpoint's attribute namespace).
+    """
+    errors: List[str] = []
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree: Dict[str, Any], head: str, rest_prefix: str = "") -> None:
+        for k, v in tree.items():
+            path = f"{rest_prefix}{k}"
+            if isinstance(v, dict):
+                walk(v, head, path + "/")
+                continue
+            try:
+                head_prefix, kind = _head_map(head, resnet_block_order)
+                suffix, transform = _leaf_rules(
+                    kind, path, use_convnext, linear_attn=(head != "mid_attn")
+                )
+            except KeyError as e:
+                errors.append(f"{head}/{path}: no mapping rule ({e})")
+                continue
+            torch_key = f"{prefix}{head_prefix}.{suffix}"
+            if torch_key in out:
+                errors.append(f"{head}/{path}: duplicate torch key {torch_key!r}")
+                continue
+            out[torch_key] = _INVERSE[transform](
+                np.asarray(v, dtype=np.float32)
+            )
+
+    for head, sub in params.items():
+        if isinstance(sub, dict):
+            walk(sub, head)
+        else:
+            errors.append(f"unexpected top-level leaf {head}")
+    if errors:
+        raise ValueError("torch checkpoint export failed:\n  " + "\n  ".join(errors))
+    return out

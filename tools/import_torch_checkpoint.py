@@ -76,7 +76,13 @@ def main() -> None:
     ap.add_argument("--model-class", default=None, help="DDPM|ImprovedDDPM|ConditionalDDPM|ScoreSDE|WavegradDDPM")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Conversion is pure host work (init template -> transpose -> archive);
+    # never touch the TPU. DMN_TPU_PLATFORM overrides (examples/common.py).
+    jax.config.update("jax_platforms", os.environ.get("DMN_TPU_PLATFORM", "cpu"))
 
     from diffusion_model_nemo_tpu import models as model_pkg
     from diffusion_model_nemo_tpu.config import from_dict, load_config
