@@ -56,16 +56,46 @@ class HFVisionDataset:
 
     Reference hf_vision_data.py:98-122 resolves the image column from
     ['image', 'img'] the same way.
+
+    ``name`` may also be a local directory written by
+    ``datasets.Dataset.save_to_disk`` (or a ``DatasetDict`` save) — loaded
+    via ``load_from_disk`` with no hub round-trip, so real HF-formatted data
+    works on zero-egress rigs. ``split`` selects the split of a saved
+    ``DatasetDict``.
     """
 
     def __init__(self, name: str, split: str, cache_dir: Optional[str] = None, mode: str = "train"):
         assert mode in ("train", "test"), "Mode must be in train or test"
-        from datasets import load_dataset
-
-        self.dataset = load_dataset(name, split=split, cache_dir=cache_dir)
+        self.dataset = self._load(str(name), split, cache_dir)
         self.image_key = _resolve_image_key(self.dataset.column_names)
         self.has_label = "label" in self.dataset.column_names
         self.mode = mode
+
+    @staticmethod
+    def _load(name: str, split, cache_dir):
+        import os
+
+        # A save_to_disk directory carries state.json (Dataset) or
+        # dataset_dict.json (DatasetDict) at its root.
+        if os.path.isdir(name) and (
+            os.path.exists(os.path.join(name, "state.json"))
+            or os.path.exists(os.path.join(name, "dataset_dict.json"))
+        ):
+            from datasets import load_from_disk
+
+            ds = load_from_disk(name)
+            if hasattr(ds, "column_names") and isinstance(ds.column_names, dict):
+                # DatasetDict: pick the requested split.
+                if split is None or split not in ds:
+                    raise ValueError(
+                        f"saved DatasetDict at {name} has splits {list(ds)}; "
+                        f"set train_ds.split (got {split!r})"
+                    )
+                ds = ds[split]
+            return ds
+        from datasets import load_dataset
+
+        return load_dataset(name, split=split, cache_dir=cache_dir)
 
     def __len__(self) -> int:
         return len(self.dataset)

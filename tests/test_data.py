@@ -106,3 +106,66 @@ def test_synthetic_loader_defaults_num_classes_from_model():
     model.setup_training_data({"name": "synthetic", "batch_size": 16, "length": 64})
     labels = np.concatenate([np.asarray(b["label"]) for b in model._train_dl])
     assert labels.max() < 4, labels.max()
+
+
+# ---- HF datasets loaded from disk (the real `datasets` code path, offline) ----
+def _save_hf_dataset(tmp_path, column="img", as_dict=False, grayscale=False, labels=True):
+    """Build a real HF dataset with an Image feature (PNG-encoded through
+    PIL, exactly what a hub download decodes through) and save_to_disk it."""
+    from datasets import Dataset, DatasetDict, Features, Image, Value
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(0)
+    n = 10
+    mode = "L" if grayscale else "RGB"
+    shape = (12, 12) if grayscale else (12, 12, 3)
+    imgs = [PILImage.fromarray(rng.integers(0, 256, shape, dtype=np.uint8), mode)
+            for _ in range(n)]
+    cols = {column: imgs}
+    feats = {column: Image()}
+    if labels:
+        cols["label"] = list(rng.integers(0, 4, n))
+        feats["label"] = Value("int32")
+    ds = Dataset.from_dict(cols, features=Features(feats))
+    if as_dict:
+        ds = DatasetDict({"train": ds, "test": ds.select(range(3))})
+    path = str(tmp_path / "hfds")
+    ds.save_to_disk(path)
+    return path, n
+
+
+def test_hf_dataset_from_disk(tmp_path):
+    path, n = _save_hf_dataset(tmp_path, column="img")
+    dl = build_dataloader({"name": path, "batch_size": 5, "shuffle": False}, mode="train")
+    batch = next(iter(dl))
+    assert batch["image"].shape == (5, 12, 12, 3)
+    assert batch["image"].dtype == np.uint8
+    assert batch["label"].shape == (5,) and batch["label"].dtype == np.int32
+    # PNG encode/decode through the Image feature is lossless — the first
+    # item must equal the source pixels.
+    from datasets import load_from_disk
+
+    src = np.asarray(load_from_disk(path)[0]["img"])
+    assert np.array_equal(batch["image"][0], src)
+
+
+def test_hf_dataset_dict_split_selection(tmp_path):
+    path, _ = _save_hf_dataset(tmp_path, column="image", as_dict=True, labels=False)
+    dl = build_dataloader(
+        {"name": path, "split": "test", "batch_size": 3, "shuffle": False}, mode="test"
+    )
+    assert len(list(dl)) == 1  # 3 examples at batch_size 3
+    with pytest.raises(ValueError, match="splits"):
+        build_dataloader({"name": path, "batch_size": 3}, mode="train")  # no split
+
+
+def test_hf_dataset_grayscale_gets_channel_axis(tmp_path):
+    path, _ = _save_hf_dataset(tmp_path, grayscale=True, labels=False)
+    dl = build_dataloader({"name": path, "batch_size": 4, "shuffle": False}, mode="train")
+    assert next(iter(dl))["image"].shape == (4, 12, 12, 1)
+
+
+def test_hf_dataset_bad_column_name_fails_loudly(tmp_path):
+    path, _ = _save_hf_dataset(tmp_path, column="picture", labels=False)
+    with pytest.raises(ValueError, match="did not match dataset columns"):
+        build_dataloader({"name": path, "batch_size": 2}, mode="train")
