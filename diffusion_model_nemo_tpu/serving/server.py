@@ -31,6 +31,13 @@ Endpoints (stdlib http.server; zero extra dependencies):
                            reject it. Same batching machinery: requests
                            coalesce into one fixed-shape device batch,
                            padded rows are computed-and-discarded.
+  POST /vocode           → (WaveGrad vocoder archives) JSON {"mel_npy": b64
+                           of an np.save'd [N, F, n_mels] float log-mel
+                           array, "seed": S?} → raw .npy [N, F·hop] float32
+                           waveforms (format is always npy — audio has no
+                           PNG form). F must equal the server's compiled
+                           mel_frames (fixed shapes, one compile). Vocoder
+                           archives serve ONLY this route.
 """
 
 from __future__ import annotations
@@ -57,6 +64,7 @@ class _Request:
     label: Optional[int]
     guidance_scale: Optional[float] = None
     images: Optional[np.ndarray] = None  # SR mode: LR inputs [n, h, w, C] in [0,1]
+    mel: Optional[np.ndarray] = None  # vocoder mode: log-mel [n, F, n_mels]
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -84,6 +92,7 @@ class BatchingSampler:
         base_seed: int = 0,
         transfer: str = "uint8",
         mesh=None,
+        mel_frames: Optional[int] = None,
     ):
         import jax
 
@@ -96,6 +105,16 @@ class BatchingSampler:
         self.lr_size = (
             self.image_size // int(model.scale_factor) if self.sr_mode else None
         )
+        # WaveGrad vocoder archives serve mel→waveform (requests carry mel);
+        # like SR, generation-without-input has nothing to condition on.
+        self.vocode_mode = hasattr(model, "vocode")
+        self.mel_frames = (
+            int(mel_frames or model.segment_frames) if self.vocode_mode else None
+        )
+        if self.vocode_mode and transfer == "uint8":
+            # Waveforms are signed float — image quantization would clip
+            # the negative half; responses are always float32 npy.
+            transfer = "float32"
         # Multi-chip serving: shard each device batch over the mesh's data
         # axis (params replicated) — the same cached-jit scan, partitioned by
         # XLA SPMD. The compiled shape is global, so it must divide evenly.
@@ -148,6 +167,11 @@ class BatchingSampler:
                     np.float32,
                 )
                 np.asarray(self._dispatch_sr(zeros, self._next_key()))
+            elif self.vocode_mode:
+                zeros = np.zeros(
+                    (self.max_batch, self.mel_frames, int(self.model.n_mels)), np.float32
+                )
+                np.asarray(self._dispatch_vocode(zeros, self._next_key()))
             else:
                 self._device_sample(self.max_batch, self._next_key(), None)
             self._warm = True
@@ -177,6 +201,11 @@ class BatchingSampler:
             raise ValueError(
                 "this archive is an SR3 super-resolution model: POST "
                 "/super_resolve with input images (submit_sr), not /sample"
+            )
+        if self.vocode_mode:
+            raise ValueError(
+                "this archive is a WaveGrad vocoder: POST /vocode with "
+                "log-mel inputs (submit_vocode), not /sample"
             )
         if guidance_scale is not None and not hasattr(self.model, "_cfg_model_fn"):
             raise ValueError("guidance_scale requires a class-conditional model")
@@ -255,6 +284,49 @@ class BatchingSampler:
             raise RuntimeError(req.error)
         return req.result
 
+    def submit_vocode(
+        self,
+        mel: np.ndarray,
+        seed: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """Vocode log-mel inputs [n, F, n_mels] → waveforms [n, F·hop].
+
+        Same contract as ``submit``/``submit_sr``: oversized requests chunk
+        at the compiled shape, seeded requests run alone so the output is a
+        pure function of (archive, seed, mel), unseeded traffic coalesces."""
+        if not self.vocode_mode:
+            raise ValueError("submit_vocode requires a WaveGrad vocoder archive")
+        mel = np.asarray(mel, dtype=np.float32)
+        if mel.ndim != 3:
+            raise ValueError(f"mel must be [n, F, n_mels], got {mel.shape}")
+        expect = (self.mel_frames, int(self.model.n_mels))
+        if tuple(mel.shape[1:]) != expect:
+            raise ValueError(
+                f"mel inputs must be [n, {expect[0]}, {expect[1]}] for this "
+                f"server (compiled mel_frames={self.mel_frames}); got {mel.shape}"
+            )
+        n = mel.shape[0]
+        if n < 1:
+            raise ValueError("need at least one mel input")
+        if n > self.max_batch:
+            parts = []
+            for i, off in enumerate(range(0, n, self.max_batch)):
+                chunk_seed = None if seed is None else seed + i
+                parts.append(
+                    self.submit_vocode(mel[off : off + self.max_batch], chunk_seed, timeout)
+                )
+            return np.concatenate(parts, axis=0)
+        req = _Request(num_images=n, seed=seed, label=None, mel=mel)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify_all()
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError(f"vocode request not served within {timeout}s")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
     # ---- worker --------------------------------------------------------------
     def _next_key(self):
         import jax
@@ -320,6 +392,24 @@ class BatchingSampler:
         if self._to_u8 is not None:
             out = self._to_u8(out)
         return out
+
+    def _dispatch_vocode(self, mels: np.ndarray, key):
+        """Enqueue one fixed-shape vocode batch (async): pad the stacked mel
+        inputs to ``max_batch`` rows; padding rows are computed-and-discarded
+        (fixed shapes keep the one-compile invariant). Output stays float32 —
+        no uint8 quantization for waveforms."""
+        import jax.numpy as jnp
+
+        n = mels.shape[0]
+        if n < self.max_batch:
+            pad = np.zeros((self.max_batch - n,) + mels.shape[1:], mels.dtype)
+            mels = np.concatenate([mels, pad], axis=0)
+        kwargs = {}
+        if self.mesh is not None:
+            kwargs["mesh"] = self.mesh
+        return self.model.vocode(
+            jnp.asarray(mels), key=key, use_ema=self.use_ema, **kwargs
+        )
 
     def _take_group(self) -> List[_Request]:
         """Pop a coalescable group: same label; seeded requests go alone."""
@@ -416,6 +506,9 @@ class BatchingSampler:
                     if self.sr_mode:
                         stacked = np.concatenate([r.images for r in group], axis=0)
                         out_dev = self._dispatch_sr(stacked, key)
+                    elif self.vocode_mode:
+                        stacked = np.concatenate([r.mel for r in group], axis=0)
+                        out_dev = self._dispatch_vocode(stacked, key)
                     else:
                         out_dev = self._dispatch_sample(
                             self.max_batch, key, group[0].label, group[0].guidance_scale
@@ -485,7 +578,11 @@ class SamplingServer:
                         {
                             "status": "ok",
                             "warm": server.batcher.warm,
-                            "mode": "super_resolve" if server.batcher.sr_mode else "sample",
+                            "mode": (
+                                "super_resolve"
+                                if server.batcher.sr_mode
+                                else "vocode" if server.batcher.vocode_mode else "sample"
+                            ),
                         },
                     )
                 elif self.path == "/stats":
@@ -494,7 +591,7 @@ class SamplingServer:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path not in ("/sample", "/super_resolve"):
+                if self.path not in ("/sample", "/super_resolve", "/vocode"):
                     self._json(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -503,7 +600,15 @@ class SamplingServer:
                     seed = payload.get("seed")
                     fmt = payload.get("format", "png")
                     timeout = float(payload.get("timeout", 600.0))
-                    if self.path == "/super_resolve":
+                    if self.path == "/vocode":
+                        blob = payload.get("mel_npy")
+                        if not blob:
+                            self._json(400, {"error": "mel_npy (base64 of an np.save'd [N,F,n_mels] array) is required"})
+                            return
+                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                        images = server.batcher.submit_vocode(arr, seed=seed, timeout=timeout)
+                        fmt = "npy"  # waveforms have no PNG form
+                    elif self.path == "/super_resolve":
                         blob = payload.get("images_npy")
                         if not blob:
                             self._json(400, {"error": "images_npy (base64 of an np.save'd [N,h,w,C] array) is required"})
@@ -585,6 +690,7 @@ def serve(
     transfer: str = "uint8",
     compile_cache_dir: Optional[str] = None,
     devices: int = 1,
+    mel_frames: Optional[int] = None,
 ) -> SamplingServer:
     """Load an archive, optionally hot-swap to DDIM, warm up, and serve.
 
@@ -601,7 +707,18 @@ def serve(
     from ..models import restore_model_from_archive
 
     model = restore_model_from_archive(model_path, use_ema=False)
-    if (use_karras_sampler or use_dpm_solver or use_ddim_sampler) and not hasattr(
+    if hasattr(model, "vocode"):
+        # WaveGrad vocoder: the archive's continuous-level schedule (possibly
+        # a searched fast schedule) IS the sampler; DDIM/DPM/Karras re-grids
+        # condition on discrete t and would break the level-conditioned net.
+        if use_karras_sampler or use_dpm_solver or use_ddim_sampler:
+            raise ValueError(
+                "vocoder archives keep their own (searchable) WaveGrad "
+                "schedule: pass use_ddim_sampler=false (and no dpm/karras "
+                "flags); use the schedule search in examples/wavegrad_ddpm/"
+                "vocode.py for fast sampling"
+            )
+    elif (use_karras_sampler or use_dpm_solver or use_ddim_sampler) and not hasattr(
         model.sampler, "constants"
     ):
         # flow-matching archives have no discrete noise schedule to re-grid;
@@ -634,7 +751,7 @@ def serve(
         sampler_cfg["eta"] = ddim_eta
         sampler_cfg["ddim_timesteps"] = ddim_timesteps
         model.change_sampler(sampler_cfg)
-    size = int(image_size or model.cfg.get("image_size"))
+    size = int(image_size or model.cfg.get("image_size") or 0)
     mesh = None
     if int(devices) not in (0, 1):
         import jax
@@ -654,5 +771,6 @@ def serve(
         base_seed=base_seed,
         transfer=transfer,
         mesh=mesh,
+        mel_frames=mel_frames,
     ).start()
     return SamplingServer(batcher, host=host, port=port)

@@ -53,6 +53,8 @@ class ServeConfig:
     karras_s_churn: float = 0.0
 
     image_size: Optional[int] = None  # default: the archive's image_size
+    mel_frames: Optional[int] = None  # vocoder archives: compiled mel length
+                                      # (default: the archive's segment_frames)
 
     # Persistent XLA compile cache: daemon restarts skip the warmup compile.
     compile_cache_dir: Optional[str] = None
@@ -86,6 +88,7 @@ def main(cfg):
         transfer=cfg.transfer,
         compile_cache_dir=cfg.compile_cache_dir,
         devices=cfg.devices,
+        mel_frames=cfg.mel_frames,
     )
     server.serve_forever()
 

@@ -390,3 +390,99 @@ def test_guided_serving_conditional_model():
         assert np.array_equal(guided, again)
     finally:
         b.stop()
+
+
+# ---- WaveGrad vocoder serving (/vocode) ---------------------------------------
+def _tiny_vocoder_model():
+    import jax
+
+    from tests.test_wavegrad_vocoder import vocoder_cfg
+
+    m = __import__(
+        "diffusion_model_nemo_tpu.models", fromlist=["WavegradVocoderModel"]
+    ).WavegradVocoderModel(cfg=vocoder_cfg(None))
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_vocoder_serving_roundtrip():
+    """Vocoder archives serve /vocode: submit_vocode round trip, seeded
+    determinism, chunking, validation, /sample rejected, float transfer
+    forced (waveforms are signed)."""
+    m = _tiny_vocoder_model()
+    F, M = m.segment_frames, m.n_mels
+    b = BatchingSampler(
+        m, image_size=0, max_batch=4, linger_ms=1.0, use_ema=False,
+        transfer="uint8",  # must be overridden to float32 in vocode mode
+    ).start()
+    try:
+        assert b.vocode_mode and b.mel_frames == F and b._to_u8 is None
+        with pytest.raises(ValueError, match="vocoder|vocode"):
+            b.submit(1, timeout=30)
+        mel = np.random.default_rng(0).normal(size=(3, F, M)).astype(np.float32)
+        out = b.submit_vocode(mel, seed=3, timeout=120)
+        assert out.shape == (3, F * m.hop)
+        assert out.dtype == np.float32 and np.isfinite(out).all()
+        assert np.array_equal(out, b.submit_vocode(mel, seed=3, timeout=120))
+        big = np.random.default_rng(1).normal(size=(6, F, M)).astype(np.float32)
+        assert b.submit_vocode(big, seed=7, timeout=120).shape == (6, F * m.hop)
+        with pytest.raises(ValueError, match="mel inputs"):
+            b.submit_vocode(np.zeros((1, F + 1, M), np.float32), timeout=30)
+        with pytest.raises(ValueError, match=r"\[n, F, n_mels\]"):
+            b.submit_vocode(np.zeros((F, M), np.float32), timeout=30)
+    finally:
+        b.stop()
+
+
+def test_vocoder_http_surface(tmp_path):
+    """Archive → serve() restore → POST /vocode over HTTP; sampler-swap flags
+    rejected loudly for vocoder archives."""
+    import base64
+    import io
+
+    from diffusion_model_nemo_tpu.serving import serve
+
+    m = _tiny_vocoder_model()
+    archive = tmp_path / "Voc.dmn"
+    m.save_to(str(archive))
+
+    with pytest.raises(ValueError, match="vocoder archives keep"):
+        serve(str(archive), port=0, use_ddim_sampler=True)
+
+    server = serve(
+        str(archive), port=0, max_batch=4, linger_ms=1.0,
+        use_ddim_sampler=False, use_ema=False,
+    )
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["mode"] == "vocode"
+        F, M = m.segment_frames, m.n_mels
+        mel = np.random.default_rng(2).normal(size=(2, F, M)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, mel)
+        req = urllib.request.Request(
+            f"{base}/vocode",
+            data=json.dumps(
+                {"mel_npy": base64.b64encode(buf.getvalue()).decode(), "seed": 1}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            arr = np.load(io.BytesIO(r.read()))
+        assert arr.shape == (2, F * m.hop) and arr.dtype == np.float32
+
+        req = urllib.request.Request(f"{base}/vocode", data=b"{}", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+        req = urllib.request.Request(
+            f"{base}/sample", data=json.dumps({"num_images": 1}).encode(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+    finally:
+        server.shutdown()
