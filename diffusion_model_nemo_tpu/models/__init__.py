@@ -1,9 +1,11 @@
 from .abstract_diffusion_model import AbstractDiffusionModel
+from .autoencoder_kl import AutoencoderKLModel
 from .ddpm import DDPM
 from .improved_ddpm import ImprovedDDPM
 from .conditional_ddpm import ConditionalDDPM
 from .conditional_edm import ConditionalEDM
 from .edm import EDM
+from .latent_diffusion import LatentDiffusion
 from .rectified_flow import RectifiedFlow
 from .score_sde import ScoreSDE
 from .sr3 import SR3
@@ -13,11 +15,13 @@ from .wavegrad_vocoder import WavegradVocoderModel
 _MODEL_CLASSES = {
     cls.__name__: cls
     for cls in (
+        AutoencoderKLModel,
         DDPM,
         ImprovedDDPM,
         ConditionalDDPM,
         ConditionalEDM,
         EDM,
+        LatentDiffusion,
         RectifiedFlow,
         ScoreSDE,
         SR3,

@@ -79,10 +79,8 @@ class AbstractDiffusionModel:
         """Initialize network parameters (and EMA copy)."""
         if key is None:
             key = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
-        x = jnp.zeros(
-            (1, int(self.image_size), int(self.image_size), self._example_input_channels()),
-            jnp.float32,
-        )
+        s = self._example_spatial_size()
+        x = jnp.zeros((1, s, s, self._example_input_channels()), jnp.float32)
         t = self._example_time()
         kwargs = {}
         if getattr(self.diffusion_model, "num_classes", None):
@@ -102,6 +100,11 @@ class AbstractDiffusionModel:
         """Channels of the network's image input (conditioned models — e.g.
         SR3's [x_t, upsampled-LR] concat — override)."""
         return int(self.channels)
+
+    def _example_spatial_size(self) -> int:
+        """Spatial size of the network's input (latent-space models — where
+        the U-Net sees the downsampled latent, not the image — override)."""
+        return int(self.image_size)
 
     def model_fn(self, params, x, t, classes=None, dropout_rng=None):
         """Pure network application; subclasses may bind conditioning.

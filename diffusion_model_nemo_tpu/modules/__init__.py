@@ -25,6 +25,11 @@ from .parts import (
     Upsample,
 )
 from .unet import Unet, WaveGradUNet
+from .autoencoder import (
+    AutoencoderKL,
+    diagonal_gaussian_kl,
+    diagonal_gaussian_sample,
+)
 from .wavegrad_audio import WaveGradVocoder
 from . import sde_lib
 from .sde_lib import SDE, VESDE, VPSDE, LikelihoodEstimate, subVPSDE

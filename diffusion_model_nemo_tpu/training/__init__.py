@@ -1,4 +1,4 @@
-from .checkpoints import CheckpointManager, load_archive, save_archive
+from .checkpoints import CheckpointManager, load_archive, load_aux_weights, save_archive
 from .consistency import ConsistencyDistiller
 from .reflow import ReflowTrainer
 from .distillation import ProgressiveDistiller, predict_eps_x0

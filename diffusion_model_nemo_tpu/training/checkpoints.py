@@ -27,7 +27,7 @@ from flax import serialization
 from ..config.yaml_config import from_dict, to_dict, to_yaml
 import yaml
 
-__all__ = ["CheckpointManager", "save_archive", "load_archive"]
+__all__ = ["CheckpointManager", "save_archive", "load_archive", "load_aux_weights"]
 
 
 class CheckpointManager:
@@ -84,8 +84,15 @@ def save_archive(
     params: Any,
     ema_params: Optional[Any] = None,
     extra: Optional[Dict[str, Any]] = None,
+    aux_weights: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Write a single-file ``.dmn`` archive (config + weights [+ EMA])."""
+    """Write a single-file ``.dmn`` archive (config + weights [+ EMA]).
+
+    ``aux_weights`` holds named frozen parameter trees that ride alongside
+    the trained weights (e.g. a latent-diffusion model's first-stage VAE) —
+    each becomes an ``aux_<name>.msgpack`` member so the archive stays
+    self-contained: restoring never needs the original first-stage file.
+    """
     path = str(path)
     params = jax.device_get(params)
     members: Dict[str, bytes] = {
@@ -95,6 +102,10 @@ def save_archive(
     if ema_params is not None:
         members["ema_weights.msgpack"] = serialization.msgpack_serialize(
             to_dict_arrays(jax.device_get(ema_params))
+        )
+    for name, tree in (aux_weights or {}).items():
+        members[f"aux_{name}.msgpack"] = serialization.msgpack_serialize(
+            to_dict_arrays(jax.device_get(tree))
         )
     if extra:
         members["extra.yaml"] = yaml.safe_dump(extra).encode()
@@ -125,6 +136,20 @@ def load_archive(path: str):
         )
         extra = yaml.safe_load(read("extra.yaml")) if "extra.yaml" in names else None
     return cfg, params, ema, extra
+
+
+def load_aux_weights(path: str) -> Dict[str, Any]:
+    """Read the ``aux_<name>.msgpack`` members of a ``.dmn`` archive →
+    {name: numpy param tree}. Empty dict when the archive carries none."""
+    out: Dict[str, Any] = {}
+    with tarfile.open(str(path), "r") as tar:
+        for name in tar.getnames():
+            if name.startswith("aux_") and name.endswith(".msgpack"):
+                f = tar.extractfile(name)
+                out[name[len("aux_"):-len(".msgpack")]] = serialization.msgpack_restore(
+                    f.read()
+                )
+    return out
 
 
 def to_dict_arrays(tree: Any) -> Any:

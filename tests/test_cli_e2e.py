@@ -358,3 +358,73 @@ def test_inpaint_cli_from_ddpm_archive(tmp_path):
     )
     for name in ("input.png", "masked.png", "inpainted.png"):
         assert (out / name).exists()
+
+
+def test_latent_diffusion_cli_roundtrip(tmp_path):
+    """Latent family: train the KL-AE first stage → train a latent DDPM on
+    its archive (with scale-factor calibration) → eval the self-contained
+    LDM archive via latent DDIM."""
+    exp = tmp_path / "exp"
+    _run(
+        "latent_diffusion/train_autoencoder_kl.py",
+        "model.image_size=16",
+        "model.channels=1",
+        "model.save_every=0",
+        "model.train_ds.name=synthetic",
+        "+model.train_ds.image_size=16",
+        "+model.train_ds.channels=1",
+        "+model.train_ds.length=32",
+        "model.train_ds.batch_size=8",
+        "model.diffusion_model.dim=8",
+        "model.diffusion_model.dim_mults=[1,2]",
+        "model.diffusion_model.z_channels=2",
+        "model.diffusion_model.resnet_block_groups=4",
+        "model.diffusion_model.dtype=float32",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliAE",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    ae = list(exp.glob("CliAE/*/CliAE.dmn"))
+    assert len(ae) == 1, f"AE archive not produced under {exp}"
+
+    _run(
+        "latent_diffusion/train_latent_ddpm.py",
+        "model.image_size=16",
+        "model.channels=1",
+        "model.timesteps=8",
+        "model.save_every=0",
+        f"model.first_stage.restore_from={ae[0]}",
+        "model.train_ds.name=synthetic",
+        "+model.train_ds.image_size=16",
+        "+model.train_ds.channels=1",
+        "+model.train_ds.length=32",
+        "model.train_ds.batch_size=8",
+        "model.diffusion_model.input_dim=8",
+        "model.diffusion_model.dim=8",
+        "model.diffusion_model.dim_mults=[1,2]",
+        "model.diffusion_model.channels=2",
+        "model.diffusion_model.resnet_block_groups=4",
+        "model.diffusion_model.dtype=float32",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliLDM",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    ldm = list(exp.glob("CliLDM/*/CliLDM.dmn"))
+    assert len(ldm) == 1, f"LDM archive not produced under {exp}"
+
+    out = tmp_path / "samples"
+    _run(
+        "latent_diffusion/eval_latent_ddpm.py",
+        f"model_path={ldm[0]}",
+        "batch_size=4",
+        "use_ddim_sampler=true",
+        "ddim_timesteps=4",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
+    assert len(list(out.glob("sample_*.png"))) == 4
