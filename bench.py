@@ -368,6 +368,62 @@ def main() -> None:
         except Exception as e:
             pc_sde = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- latent diffusion leg: 1000-step DDPM on f=2 VAE latents -------------
+    # Same public workload (CIFAR 32x32 images out) via the LatentDiffusion
+    # family: the dim-32 U-Net runs on 16x16x4 latents (4x fewer spatial
+    # positions per network call) + ONE decoder pass — the architecture-level
+    # route to faster sampling that keeps full-resolution decoding.
+    latent = None
+    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
+        try:
+            from diffusion_model_nemo_tpu.models import LatentDiffusion
+
+            ld_cfg = {
+                "image_size": IMG,
+                "timesteps": T,
+                "channels": 3,
+                "save_every": 0,
+                "first_stage": {
+                    "autoencoder": {
+                        "_target_": "diffusion_model_nemo.modules.AutoencoderKL",
+                        "dim": 32, "dim_mults": [1, 2], "z_channels": 4,
+                        "channels": 3, "dtype": "bfloat16",
+                    }
+                },
+                "diffusion_model": {
+                    "_target_": "diffusion_model_nemo.modules.Unet",
+                    "input_dim": IMG // 2, "dim": 32, "channels": 4,
+                    "dim_mults": [1, 2, 2], "dtype": "bfloat16",
+                },
+                "sampler": {
+                    "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+                    "timesteps": T, "schedule_name": "cosine",
+                },
+                "loss": {"_target_": "diffusion_model_nemo.loss.DiffusionLoss",
+                         "loss_type": "l2"},
+                "optim": {"name": "adamw", "lr": 1e-3},
+            }
+            ld = LatentDiffusion(cfg=ld_cfg)
+            ld.init_params(jax.random.PRNGKey(0))
+            key = jax.random.PRNGKey(7)
+            ld.sample(batch_size=BATCH, image_size=IMG, key=key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 3
+            out = None
+            for i in range(RUNS):
+                out = ld.sample(
+                    batch_size=BATCH, image_size=IMG, key=jax.random.fold_in(key, i)
+                )
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            n_unet = sum(int(p.size) for p in jax.tree.leaves(ld.params))
+            latent = {
+                "sps": round(BATCH / sec, 1), "steps": T, "latent": "16x16x4",
+                "unet_params": n_unet,
+            }
+        except Exception as e:
+            latent = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- opt-in TPU-geometry fast path (tpu_geometry: s2d) -------------------
     # Same public workload (CIFAR 32x32 in/out, 1000-step DDPM) on the
     # space-to-depth variant: every U-Net level at half spatial resolution.
@@ -496,6 +552,7 @@ def main() -> None:
         "dpm20": dpm20,
         "edm18": edm18,
         "pc_sde": pc_sde,
+        "latent1000": latent,
         "tpu_s2d": s2d,
         "dim128": dim128,
         "train": train,
