@@ -56,6 +56,14 @@ class SR3(DDPM):
             raise ValueError(
                 f"lowres_method must be one of {_RESIZE_METHODS}, got {self.lowres_method}"
             )
+        # Gaussian conditioning augmentation (Ho et al. 2022 §3.3, the
+        # ingredient that makes SR3 stages robust as CASCADE upscalers: the
+        # train-time conditioning is a clean down(HR) but at inference it is
+        # a previous diffusion stage's imperfect output). Train-time only;
+        # 0.0 (default) keeps the plain-SR3 key stream bitwise unchanged.
+        self.cond_aug_std = float(self.cfg.get("cond_aug_std", 0.0))
+        if self.cond_aug_std < 0:
+            raise ValueError(f"cond_aug_std must be >= 0, got {self.cond_aug_std}")
         self._vis_batch = None  # cached host batch for periodic sample dumps
 
     def _example_input_channels(self) -> int:
@@ -90,6 +98,12 @@ class SR3(DDPM):
         every sampler sees a plain ``model_fn(params, x, t)``."""
         if cond is None and batch is not None:
             cond = self._lowres_condition(batch["pixel_values"])
+            if training and self.cond_aug_std > 0 and key is not None:
+                # fold_in with a fixed tag: the dropout stream (raw `key`)
+                # is untouched, so cond_aug_std=0 runs stay bitwise equal.
+                cond = cond + self.cond_aug_std * jax.random.normal(
+                    jax.random.fold_in(key, 0x5347), cond.shape, cond.dtype
+                )
         dropout_rng = key if training else None
 
         def fn(params, x, t):

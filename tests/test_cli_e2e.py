@@ -428,3 +428,51 @@ def test_latent_diffusion_cli_roundtrip(tmp_path):
     )
     assert (out / "samples_grid.png").exists()
     assert len(list(out.glob("sample_*.png"))) == 4
+
+
+def test_cascade_cli_roundtrip(tmp_path):
+    """Cascaded generation CLI: base DDPM@8 + SR3@16 (cond-aug) → 16px
+    samples with per-stage grids (pipelines/cascade.py key-stream contract
+    is unit-tested in tests/test_cascade.py; this drives the user surface)."""
+    exp = tmp_path / "exp"
+    _run(
+        "ddpm/train_ddpm.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliCascBase",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    base = list(exp.glob("CliCascBase/*/CliCascBase.dmn"))
+    assert len(base) == 1
+
+    sr_train = [o.replace("=8", "=16") if "image_size" in o else o for o in TINY_TRAIN]
+    _run(
+        "sr3/train_sr3.py",
+        *sr_train,
+        "model.scale_factor=2",
+        "model.compute_bpd=false",
+        "+model.cond_aug_std=0.1",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliCascSR",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    sr = list(exp.glob("CliCascSR/*/CliCascSR.dmn"))
+    assert len(sr) == 1
+
+    out = tmp_path / "cascade"
+    proc = _run(
+        "sr3/cascade_sr3.py",
+        f"base_path={base[0]}",
+        f"upscaler_paths={sr[0]}",
+        "batch_size=4",
+        "seed=0",
+        "use_ddim_sampler=true",
+        "ddim_timesteps=4",
+        "upscaler_ddim_timesteps=4",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert "8 → 16 px" in (proc.stdout + proc.stderr)
+    assert (out / "samples_grid.png").exists()
+    assert (out / "stage0_8px.png").exists() and (out / "stage1_16px.png").exists()
+    assert len(list(out.glob("sample_*.png"))) == 4
