@@ -3,6 +3,7 @@ from .consistency import ConsistencyDistiller
 from .reflow import ReflowTrainer
 from .distillation import ProgressiveDistiller, predict_eps_x0
 from .ema import ema_update, init_ema
+from .lora import LoRAFinetuner, load_adapters, lora_init, merge_adapters, save_adapters
 from .exp_manager import ExpManagerHooks, exp_manager
 from .optim import build_lr_schedule, build_optimizer
 from .trainer import Trainer

@@ -476,3 +476,50 @@ def test_cascade_cli_roundtrip(tmp_path):
     assert (out / "samples_grid.png").exists()
     assert (out / "stage0_8px.png").exists() and (out / "stage1_16px.png").exists()
     assert len(list(out.glob("sample_*.png"))) == 4
+
+
+def test_lora_finetune_cli_roundtrip(tmp_path):
+    """LoRA CLI: train a tiny DDPM → finetune_lora.py (merged archive +
+    adapter .npz) → the merged archive samples via the stock eval CLI."""
+    exp = tmp_path / "exp"
+    _run(
+        "ddpm/train_ddpm.py",
+        *TINY_TRAIN,
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.name=CliLoraBase",
+        f"+model.results_dir={tmp_path / 'results'}",
+    )
+    base = list(exp.glob("CliLoraBase/*/CliLoraBase.dmn"))
+    assert len(base) == 1
+
+    merged = tmp_path / "lora.dmn"
+    adapters = tmp_path / "adapters.npz"
+    proc = _run(
+        "ddpm/finetune_lora.py",
+        f"model_path={base[0]}",
+        f"output_path={merged}",
+        f"adapters_path={adapters}",
+        "rank=4",
+        "steps=6",
+        "batch_size=8",
+        "dataset_name=synthetic",
+        "dataset_length=16",
+        "log_every=2",
+    )
+    blob = proc.stdout + proc.stderr
+    assert "trainable params" in blob and "LoRA loss" in blob
+    assert merged.exists() and adapters.exists()
+    # adapters are tiny relative to the archive
+    assert adapters.stat().st_size < merged.stat().st_size
+
+    out = tmp_path / "samples"
+    _run(
+        "ddpm/eval_ddpm.py",
+        f"model_path={merged}",
+        "batch_size=4",
+        "use_ddim_sampler=true",
+        "ddim_timesteps=4",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
