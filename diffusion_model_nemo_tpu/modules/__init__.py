@@ -24,6 +24,7 @@ from .parts import (
     SinusoidalPositionEmbeddings,
     Upsample,
 )
+from .dit import DiT
 from .unet import Unet, WaveGradUNet
 from .autoencoder import (
     AutoencoderKL,

@@ -8,8 +8,10 @@ from .mesh import (
     sample_shardings,
     shard_batch,
 )
+from .pipeline import pipeline_apply, pipeline_spec, stack_pipeline_params
 from .sharding import (
     STRATEGIES,
+    expert_param_shardings,
     infer_param_shardings,
     make_strategy_mesh,
     param_shardings_for_strategy,

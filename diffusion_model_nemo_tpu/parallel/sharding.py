@@ -39,10 +39,11 @@ __all__ = [
     "STRATEGIES",
     "make_strategy_mesh",
     "infer_param_shardings",
+    "expert_param_shardings",
     "param_shardings_for_strategy",
 ]
 
-STRATEGIES = ("ddp", "fsdp", "tensor_parallel", "fsdp_tp")
+STRATEGIES = ("ddp", "fsdp", "tensor_parallel", "fsdp_tp", "expert_parallel")
 
 
 def make_strategy_mesh(
@@ -67,6 +68,13 @@ def make_strategy_mesh(
         if n % tp != 0:
             raise ValueError(f"tp_size {tp} must divide device count {n}")
         return make_mesh(devices, axis_names=("data", "model"), shape=(n // tp, tp))
+    if strategy in ("expert_parallel", "ep"):
+        ep = int(tp_size)
+        if ep <= 0:
+            ep = next(t for t in (4, 2, 1) if n % t == 0)
+        if n % ep != 0:
+            raise ValueError(f"ep_size {ep} must divide device count {n}")
+        return make_mesh(devices, axis_names=("data", "expert"), shape=(n // ep, ep))
     return make_mesh(devices)
 
 
@@ -122,6 +130,27 @@ def infer_param_shardings(
     return jax.tree.map(leaf_sharding, params)
 
 
+def expert_param_shardings(params: Any, mesh: Mesh, axis: str = "expert") -> Any:
+    """NamedSharding pytree for expert parallelism: leaves whose tree path
+    names an expert-stacked weight (``experts_*`` — the ``[E, ...]`` leading
+    axis of :class:`~..modules.dit.ExpertChoiceMoE`) are sharded on dim 0
+    over ``axis``; everything else (the dense trunk, routers, norms) stays
+    replicated. Name-driven rather than shape-driven because nothing about a
+    leading dim distinguishes "experts" from, say, a stacked conv kernel —
+    the stacking convention is the contract."""
+    axis_size = mesh.shape[axis]
+
+    def leaf_sharding(path, leaf):
+        shape = tuple(getattr(leaf, "shape", np.shape(leaf)))
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if any(str(n).startswith("experts_") for n in names):
+            if shape and shape[0] % axis_size == 0:
+                return NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
 def param_shardings_for_strategy(params: Any, mesh: Mesh, strategy: Optional[str]) -> Any:
     """Sharding pytree for model parameters under a named strategy."""
     strategy = (strategy or "ddp").lower()
@@ -133,4 +162,6 @@ def param_shardings_for_strategy(params: Any, mesh: Mesh, strategy: Optional[str
         return infer_param_shardings(params, mesh, axis="model")
     if strategy == "fsdp_tp":
         return infer_param_shardings(params, mesh, axis="model", extra_axis="data")
+    if strategy in ("expert_parallel", "ep"):
+        return expert_param_shardings(params, mesh, axis="expert")
     raise ValueError(f"Unknown strategy {strategy!r}; choose from {STRATEGIES}")

@@ -49,8 +49,8 @@ class Trainer:
         log_every_n_steps: int = 10,
         ema_decay: float = 0.9999,
         seed: int = 42,
-        strategy: Optional[str] = None,  # ddp (default) | fsdp | tensor_parallel | fsdp_tp
-        tp_size: int = 0,  # model-axis size for tensor_parallel; <=0 = auto
+        strategy: Optional[str] = None,  # ddp (default) | fsdp | tensor_parallel | fsdp_tp | expert_parallel
+        tp_size: int = 0,  # model/expert-axis size for tensor_parallel/expert_parallel; <=0 = auto
         steps_per_execution: int = 1,  # optimizer steps per device dispatch (lax.scan)
         accelerator: str = "auto",
         limit_test_batches: Optional[float] = None,
@@ -124,10 +124,13 @@ class Trainer:
                     "running mesh data-parallel (replicated params)"
                 )
             self.strategy = "ddp"
-        if self.strategy not in ("ddp", "fsdp", "tensor_parallel", "tp", "fsdp_tp"):
+        if self.strategy not in (
+            "ddp", "fsdp", "tensor_parallel", "tp", "fsdp_tp", "expert_parallel", "ep"
+        ):
             logging.warning(
                 f"trainer.strategy={strategy!r} is not a recognized layout "
-                "(ddp | fsdp | tensor_parallel | fsdp_tp); using mesh data-parallel"
+                "(ddp | fsdp | tensor_parallel | fsdp_tp | expert_parallel); "
+                "using mesh data-parallel"
             )
             self.strategy = "ddp"
         self.mesh = make_strategy_mesh(all_devices[:n], self.strategy, tp_size)
