@@ -26,14 +26,19 @@ class DiffusionLoss:
         self.loss_type = loss_type
         self.reduction = reduction
 
-    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    def elementwise(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Unreduced per-element loss (used by per-sample weightings like
+        Min-SNR-γ, models/ddpm.py)."""
         if self.loss_type == "l1":
-            loss = jnp.abs(input - target)
-        elif self.loss_type == "l2":
-            loss = (input - target) ** 2
-        else:  # huber, beta=1 (torch smooth_l1_loss default)
-            diff = jnp.abs(input - target)
-            loss = jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
+            return jnp.abs(input - target)
+        if self.loss_type == "l2":
+            return (input - target) ** 2
+        # huber, beta=1 (torch smooth_l1_loss default)
+        diff = jnp.abs(input - target)
+        return jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
+
+    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        loss = self.elementwise(input, target)
 
         if self.reduction == "mean":
             return loss.mean()

@@ -66,11 +66,15 @@ class ConditionalDDPM(DDPM):
         model_fn = self.get_model_fn(proc, training=True, key=k_mask)
 
         t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
-        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        noise = self._draw_noise(k_noise, samples)
         x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
         model_output = model_fn(params, x_t, t)
 
-        loss = self.loss(input=model_output, target=noise)
+        if getattr(self.sampler, "objective", "pred_noise") == "pred_v":
+            target = self.sampler.v_target(samples, t, noise)
+        else:
+            target = noise
+        loss = self._simple_loss(model_output, target, t)
         return loss, {"train_loss": loss}
 
     def change_sampler(self, sampler_cfg) -> None:

@@ -32,6 +32,37 @@ class DDPM(AbstractDiffusionModel):
         self.loss = instantiate(self.cfg.loss)
 
     # ---- training ------------------------------------------------------------
+    def _draw_noise(self, k_noise, samples) -> jnp.ndarray:
+        """Training noise draw; ``model.offset_noise_strength: s`` (beyond
+        reference — the common low-frequency/brightness fine-tuning knob)
+        adds s·N(0,1) per (example, channel), constant over space. The base
+        stream comes from ``k_noise`` untouched, so s = 0 is bitwise the
+        previous behavior (repo key-stream contract)."""
+        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        strength = float(self.cfg.get("offset_noise_strength", 0.0) or 0.0)
+        if strength:
+            offset = jax.random.normal(
+                jax.random.fold_in(k_noise, 1),
+                (samples.shape[0],) + (1,) * (samples.ndim - 2) + (samples.shape[-1],),
+                samples.dtype,
+            )
+            noise = noise + strength * offset
+        return noise
+
+    def _simple_loss(self, model_output, target, t) -> jnp.ndarray:
+        """L_simple, optionally Min-SNR-γ-weighted (``model.snr_gamma: γ``,
+        Hang et al. 2023 — beyond reference). The weighted path uses the
+        paper's convention (per-example mean, weighted, batch mean)
+        regardless of ``loss.reduction``; γ unset keeps the configured
+        reduction exactly (reference parity)."""
+        gamma = self.cfg.get("snr_gamma")
+        if not gamma:
+            return self.loss(input=model_output, target=target)
+        per = self.loss.elementwise(model_output, target)
+        per = per.reshape(per.shape[0], -1).mean(-1)
+        w = self.sampler.min_snr_weight(t, float(gamma))
+        return (w * per).mean()
+
     def training_step(self, params, batch, key, step):
         """Pure: (params, raw uint8 batch, key, step) → (loss, metrics).
 
@@ -46,7 +77,7 @@ class DDPM(AbstractDiffusionModel):
         model_fn = self.get_model_fn(proc, training=True, key=k_drop)
 
         t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
-        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        noise = self._draw_noise(k_noise, samples)
         x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
         model_output = model_fn(params, x_t, t)
 
@@ -57,7 +88,7 @@ class DDPM(AbstractDiffusionModel):
             target = self.sampler.v_target(samples, t, noise)
         else:
             target = noise
-        loss = self.loss(input=model_output, target=target)
+        loss = self._simple_loss(model_output, target, t)
         metrics = {"train_loss": loss}
         return loss, metrics
 

@@ -37,7 +37,7 @@ class ImprovedDDPM(DDPM):
         model_fn = self.get_model_fn(proc, training=True, key=k_drop)
 
         t = jax.random.randint(k_t, (B,), 0, self.timesteps, dtype=jnp.int32)
-        noise = jax.random.normal(k_noise, samples.shape, samples.dtype)
+        noise = self._draw_noise(k_noise, samples)
         x_t = self.sampler.q_sample(x_start=samples, t=t, noise=noise)
         model_output = model_fn(params, x_t, t)
 
@@ -50,7 +50,9 @@ class ImprovedDDPM(DDPM):
             target = self.sampler.v_target(samples, t, noise)
         else:
             target = noise
-        simple_losses = self.loss(input=pred_noise, target=target)
+        # Min-SNR-gamma (model.snr_gamma) weights the simple term only; the
+        # VLB term keeps Nichol-Dhariwal's own 0.001 weighting.
+        simple_losses = self._simple_loss(pred_noise, target, t)
 
         # VLB on the learned variance (improved_ddpm.py:57-69).
         true_mean, true_log_variance_clipped = self.sampler.q_posterior(

@@ -77,10 +77,19 @@ class AbstractDiffusionProcess:
     def compute_constants(self, timesteps: int) -> None:
         """(Re)build the constant table; mirrors the reference's mutable
         ``compute_constants`` hook so WaveGrad-style schedule hot-swaps keep
-        the same public API."""
+        the same public API. With ``zero_terminal_snr`` set on the process
+        (GaussianDiffusion knob), the named schedule's betas are rescaled so
+        ᾱ_T is exactly zero (ops/schedules.py:rescale_zero_terminal_snr)."""
         self.timesteps = int(timesteps)
+        betas = None
+        if getattr(self, "zero_terminal_snr", False):
+            from ..ops.schedules import get_named_beta_schedule, rescale_zero_terminal_snr
+
+            betas = rescale_zero_terminal_snr(
+                get_named_beta_schedule(self.schedule_name, self.timesteps, self.schedule_cfg)
+            )
         self.constants = compute_schedule_constants(
-            self.timesteps, self.schedule_name, self.schedule_cfg
+            self.timesteps, self.schedule_name, self.schedule_cfg, betas=betas
         )
         self.version += 1
 

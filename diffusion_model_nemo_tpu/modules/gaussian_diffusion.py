@@ -51,14 +51,23 @@ class GaussianDiffusion(AbstractDiffusionProcess):
         schedule_cfg: Optional[Dict[str, Any]] = None,
         objective: str = "pred_noise",
         class_conditional: bool = False,
+        zero_terminal_snr: bool = False,
     ):
         super().__init__(timesteps=timesteps, schedule_name=schedule_name, schedule_cfg=schedule_cfg)
         if objective not in ("pred_noise", "pred_x0", "pred_v"):
             raise ValueError(
                 f"objective must be pred_noise|pred_x0|pred_v, got {objective}"
             )
+        if zero_terminal_snr and objective == "pred_noise":
+            # At SNR 0 the input is pure noise and ε is unidentifiable (any
+            # ε̂ is consistent); Lin et al. 2024 §2.2 — train pred_v/pred_x0.
+            raise ValueError(
+                "zero_terminal_snr requires objective pred_v or pred_x0 "
+                "(epsilon is unidentifiable at the terminal SNR-0 step)"
+            )
         self.objective = objective
         self.use_class_conditioning = bool(class_conditional)
+        self.zero_terminal_snr = bool(zero_terminal_snr)
         self.compute_constants(timesteps)
 
     # ---- q space -------------------------------------------------------------
@@ -128,6 +137,23 @@ class GaussianDiffusion(AbstractDiffusionProcess):
             extract(c.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * x_t
             + extract(c.sqrt_alphas_cumprod, t, x_t.ndim) * v
         )
+
+    def min_snr_weight(self, t: jnp.ndarray, gamma: float) -> jnp.ndarray:
+        """Per-example Min-SNR-γ loss weight (Hang et al. 2023), objective-
+        aware so the weight always applies to the loss AS REGRESSED:
+        min(SNR, γ)/SNR for ε-prediction, min(SNR, γ) for x₀-prediction,
+        min(SNR, γ)/(SNR+1) for v-prediction. Beyond the reference's surface
+        (it trains with the uniform-weight L_simple only). ``t`` is the
+        per-example [B] timestep; returns a [B] weight vector."""
+        c = self.constants
+        snr = c.alphas_cumprod / jnp.maximum(1.0 - c.alphas_cumprod, 1e-20)
+        w = jnp.minimum(snr, float(gamma))
+        if self.objective == "pred_noise":
+            w = w / snr
+        elif self.objective == "pred_v":
+            w = w / (snr + 1.0)
+        # pred_x0: min(SNR, γ) itself
+        return extract(w, t, 1)
 
     # ---- p space -------------------------------------------------------------
     def p_mean_variance(

@@ -35,6 +35,7 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
         eta: float = 0.0,
         ddim_timesteps: int = -1,
         class_conditional: bool = False,
+        zero_terminal_snr: bool = False,
     ):
         super().__init__(
             timesteps=timesteps,
@@ -42,6 +43,7 @@ class GeneralizedGaussianDiffusion(GaussianDiffusion):
             schedule_cfg=schedule_cfg,
             objective=objective,
             class_conditional=class_conditional,
+            zero_terminal_snr=zero_terminal_snr,
         )
         if not (0.0 <= eta <= 1.0):
             raise ValueError("`eta` must be a value in [0, 1]. 0 = DDIM and 1 = DDPM mode")

@@ -32,6 +32,7 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
         schedule_cfg: Optional[Dict[str, Any]] = None,
         objective: str = "pred_noise",
         class_conditional: bool = False,
+        zero_terminal_snr: bool = False,
     ):
         super().__init__(
             timesteps=timesteps,
@@ -39,6 +40,7 @@ class LearnedGaussianDiffusion(GaussianDiffusion):
             schedule_cfg=schedule_cfg,
             objective=objective,
             class_conditional=class_conditional,
+            zero_terminal_snr=zero_terminal_snr,
         )
 
     def model_log_variance(self, model_output: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray):

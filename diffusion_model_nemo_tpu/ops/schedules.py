@@ -27,6 +27,7 @@ __all__ = [
     "quadratic_beta_schedule",
     "sigmoid_beta_schedule",
     "get_named_beta_schedule",
+    "rescale_zero_terminal_snr",
     "ScheduleConstants",
     "compute_schedule_constants",
     "extract",
@@ -166,6 +167,27 @@ class ScheduleConstants:
         return self.betas.shape[0]
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale a beta schedule so the terminal SNR is exactly zero.
+
+    Lin et al. 2024 ("Common Diffusion Noise Schedules and Sampler Designs
+    are Flawed"), Algorithm 1 — beyond the reference's surface (its
+    schedules all leave ᾱ_T > 0, so the model never trains on pure noise
+    while sampling starts from it). Operates on √ᾱ: shift so the last value
+    is 0, rescale so the first keeps its original value, then convert back
+    to betas. Requires a non-ε-prediction objective (at SNR 0 the noise
+    target is unidentifiable) — enforced where the knob is consumed
+    (modules/gaussian_diffusion.py).
+    """
+    betas = np.asarray(betas, dtype=np.float64)
+    sqrt_ab = np.sqrt(np.cumprod(1.0 - betas))
+    first, last = sqrt_ab[0], sqrt_ab[-1]
+    sqrt_ab = (sqrt_ab - last) * first / (first - last)
+    ab = sqrt_ab**2
+    alphas = np.concatenate([ab[:1], ab[1:] / ab[:-1]])
+    return 1.0 - alphas
+
+
 def compute_schedule_constants(
     timesteps: int,
     schedule_name: str,
@@ -199,27 +221,37 @@ def compute_schedule_constants(
     def f32(x):
         return jnp.asarray(np.asarray(x, dtype=np.float32))
 
-    return ScheduleConstants(
-        betas=f32(betas),
-        alphas=f32(alphas),
-        alphas_cumprod=f32(alphas_cumprod),
-        alphas_cumprod_prev=f32(alphas_cumprod_prev),
-        sqrt_recip_alphas=f32(np.sqrt(1.0 / alphas)),
-        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
-        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
-        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-        log_betas=f32(np.log(betas)),
-        posterior_variance=f32(posterior_variance),
-        posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
-        posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
-        posterior_mean_coef2=f32(
-            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
-        ),
-        sqrt_alphas_cumprod_prev=f32(sqrt_acp_prev_with_last),
-        sqrt_alphas_cumprod_m1=f32(np.sqrt(1.0 - alphas_cumprod) * np.sqrt(1.0 / alphas_cumprod)),
-    )
+    # A zero-terminal-SNR schedule (rescale_zero_terminal_snr) has ᾱ_T = 0
+    # exactly: the 1/ᾱ family of constants is +inf at T. That is correct —
+    # those tables are only consumed by the ε-prediction formulas, which the
+    # process layer forbids under zero_terminal_snr — so only the host
+    # divide warnings are silenced here.
+    with np.errstate(divide="ignore"):
+        return ScheduleConstants(
+            betas=f32(betas),
+            alphas=f32(alphas),
+            alphas_cumprod=f32(alphas_cumprod),
+            alphas_cumprod_prev=f32(alphas_cumprod_prev),
+            sqrt_recip_alphas=f32(np.sqrt(1.0 / alphas)),
+            sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+            sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+            log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
+            log_betas=f32(np.log(betas)),
+            posterior_variance=f32(posterior_variance),
+            posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
+            posterior_mean_coef1=f32(
+                betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+            ),
+            posterior_mean_coef2=f32(
+                (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+            ),
+            sqrt_alphas_cumprod_prev=f32(sqrt_acp_prev_with_last),
+            sqrt_alphas_cumprod_m1=f32(
+                np.sqrt(1.0 - alphas_cumprod) * np.sqrt(1.0 / alphas_cumprod)
+            ),
+        )
 
 
 def extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
