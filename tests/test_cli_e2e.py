@@ -523,3 +523,46 @@ def test_lora_finetune_cli_roundtrip(tmp_path):
         "add_timestamp=false",
     )
     assert (out / "samples_grid.png").exists()
+
+
+def test_train_then_eval_dit_roundtrip(tmp_path):
+    """DiT-backbone CLI: train_dit.py (MoE variant under expert_parallel) ->
+    archive -> stock eval_ddpm.py DDIM eval (the backbone is invisible to
+    samplers/archives)."""
+    exp = tmp_path / "exp"
+    _run(
+        "dit/train_dit.py",
+        "model.image_size=8",
+        "model.timesteps=10",
+        "model.save_every=0",
+        "model.compute_bpd=false",
+        "model.train_ds.name=synthetic",
+        "+model.train_ds.image_size=8",
+        "+model.train_ds.length=32",
+        "model.train_ds.batch_size=8",
+        "model.diffusion_model.dim=64",
+        "model.diffusion_model.depth=2",
+        "model.diffusion_model.heads=4",
+        "model.diffusion_model.dtype=float32",
+        "model.diffusion_model.moe_experts=2",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        "trainer.strategy=expert_parallel",
+        "trainer.tp_size=2",
+        f"exp_manager.exp_dir={exp}",
+        "exp_manager.create_tensorboard_logger=false",
+    )
+    archives = list(exp.glob("DDPM-DiT/*/DDPM-DiT.dmn"))
+    assert len(archives) == 1, f"archive not produced under {exp}"
+
+    out = tmp_path / "samples"
+    _run(
+        "ddpm/eval_ddpm.py",
+        f"model_path={archives[0]}",
+        "batch_size=4",
+        "use_ddim_sampler=true",
+        "ddim_timesteps=5",
+        f"output_dir={out}",
+        "add_timestamp=false",
+    )
+    assert (out / "samples_grid.png").exists()
