@@ -2,6 +2,7 @@ from .diffusion_process import AbstractDiffusionProcess, ModelFn
 from .gaussian_diffusion import GaussianDiffusion, PMeanVariance
 from .generalized_gaussian_diffusion import GeneralizedGaussianDiffusion
 from .dpm_solver import DPMSolverDiffusion
+from .unipc import UniPCDiffusion
 from .karras_diffusion import KarrasDiffusion
 from .consistency_sampler import ConsistencySampler
 from .edm_diffusion import EDMProcess

@@ -685,6 +685,10 @@ def serve(
     karras_steps: int = 18,
     karras_order: int = 2,
     karras_s_churn: float = 0.0,
+    use_unipc: bool = False,
+    unipc_steps: int = 20,
+    unipc_order: int = 2,
+    unipc_corrector: bool = True,
     image_size: Optional[int] = None,
     base_seed: int = 0,
     transfer: str = "uint8",
@@ -711,14 +715,14 @@ def serve(
         # WaveGrad vocoder: the archive's continuous-level schedule (possibly
         # a searched fast schedule) IS the sampler; DDIM/DPM/Karras re-grids
         # condition on discrete t and would break the level-conditioned net.
-        if use_karras_sampler or use_dpm_solver or use_ddim_sampler:
+        if use_karras_sampler or use_dpm_solver or use_ddim_sampler or use_unipc:
             raise ValueError(
                 "vocoder archives keep their own (searchable) WaveGrad "
-                "schedule: pass use_ddim_sampler=false (and no dpm/karras "
-                "flags); use the schedule search in examples/wavegrad_ddpm/"
-                "vocode.py for fast sampling"
+                "schedule: pass use_ddim_sampler=false (and no dpm/karras/"
+                "unipc flags); use the schedule search in examples/"
+                "wavegrad_ddpm/vocode.py for fast sampling"
             )
-    elif (use_karras_sampler or use_dpm_solver or use_ddim_sampler) and not hasattr(
+    elif (use_karras_sampler or use_dpm_solver or use_ddim_sampler or use_unipc) and not hasattr(
         model.sampler, "constants"
     ):
         # flow-matching archives have no discrete noise schedule to re-grid;
@@ -727,7 +731,16 @@ def serve(
             f"{type(model).__name__} archives use their own ODE sampler; "
             "DDIM/DPM/Karras swaps only apply to DDPM-family archives"
         )
-    if use_karras_sampler:
+    if use_unipc:
+        # UniPC (modules/unipc.py): multistep predictor-corrector — the
+        # corrector raises effective order at zero extra network evals.
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.UniPCDiffusion"
+        sampler_cfg["solver_steps"] = unipc_steps
+        sampler_cfg["solver_order"] = unipc_order
+        sampler_cfg["use_corrector"] = unipc_corrector
+        model.change_sampler(sampler_cfg)
+    elif use_karras_sampler:
         # EDM sampler (modules/karras_diffusion.py): Heun + Karras rho-grid,
         # optional stochastic churn — quality-grade few-step sampling.
         sampler_cfg = dict(model.cfg.sampler)

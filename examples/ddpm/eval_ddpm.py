@@ -43,6 +43,13 @@ class EvalConfig:
     karras_order: int = 2
     karras_s_churn: float = 0.0
 
+    # UniPC (predictor-corrector multistep; corrector is free — overrides all)
+    use_unipc: bool = False
+    unipc_steps: int = 20
+    unipc_order: int = 2
+    unipc_corrector: bool = True
+    unipc_variant: str = "bh2"  # bh1 | bh2
+
     # Output
     output_dir: str = "samples"
     add_timestamp: bool = True
@@ -58,7 +65,15 @@ class EvalConfig:
 
 
 def maybe_use_ddim_sampler(model: DDPM, cfg: EvalConfig) -> None:
-    if getattr(cfg, "use_karras_sampler", False):
+    if getattr(cfg, "use_unipc", False):
+        sampler_cfg = dict(model.cfg.sampler)
+        sampler_cfg["_target_"] = "diffusion_model_nemo.modules.UniPCDiffusion"
+        sampler_cfg["solver_steps"] = cfg.unipc_steps
+        sampler_cfg["solver_order"] = cfg.unipc_order
+        sampler_cfg["use_corrector"] = cfg.unipc_corrector
+        sampler_cfg["variant"] = cfg.unipc_variant
+        model.change_sampler(sampler_cfg)
+    elif getattr(cfg, "use_karras_sampler", False):
         sampler_cfg = dict(model.cfg.sampler)
         sampler_cfg["_target_"] = "diffusion_model_nemo.modules.KarrasDiffusion"
         sampler_cfg["solver_steps"] = cfg.karras_steps

@@ -51,6 +51,10 @@ class ServeConfig:
     karras_steps: int = 18
     karras_order: int = 2
     karras_s_churn: float = 0.0
+    use_unipc: bool = False  # UniPC predictor-corrector: overrides all when true
+    unipc_steps: int = 20
+    unipc_order: int = 2
+    unipc_corrector: bool = True
 
     image_size: Optional[int] = None  # default: the archive's image_size
     mel_frames: Optional[int] = None  # vocoder archives: compiled mel length
@@ -83,6 +87,10 @@ def main(cfg):
         karras_steps=cfg.karras_steps,
         karras_order=cfg.karras_order,
         karras_s_churn=cfg.karras_s_churn,
+        use_unipc=cfg.use_unipc,
+        unipc_steps=cfg.unipc_steps,
+        unipc_order=cfg.unipc_order,
+        unipc_corrector=cfg.unipc_corrector,
         image_size=cfg.image_size,
         base_seed=cfg.base_seed,
         transfer=cfg.transfer,
