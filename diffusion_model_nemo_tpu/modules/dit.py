@@ -55,6 +55,31 @@ from .unet import _resolve_dtype, depth_to_space
 __all__ = ["DiT", "DiTBlock", "ExpertChoiceMoE", "sincos_position_embedding_2d"]
 
 
+def _sincos_position_embedding_rows(
+    h: int, w: int, dim: int, row_offset: jnp.ndarray
+) -> jnp.ndarray:
+    """jnp variant of :func:`sincos_position_embedding_2d` for a local block
+    of ``h`` patch-rows starting at (traced) global row ``row_offset`` —
+    used under sequence-parallel shard_map, where each device holds a
+    contiguous row-major slice of the global token sequence."""
+    if dim % 4:
+        raise ValueError(f"DiT position embedding needs dim % 4 == 0, got {dim}")
+    half = dim // 2
+    quarter = half // 2
+    freq = jnp.exp(-math.log(10000.0) * jnp.arange(quarter, dtype=jnp.float32) / quarter)
+
+    def emb_1d(pos: jnp.ndarray) -> jnp.ndarray:  # [M] -> [M, half]
+        ang = pos[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + row_offset.astype(jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.concatenate([emb_1d(gy.reshape(-1)), emb_1d(gx.reshape(-1))], axis=-1)
+
+
 def sincos_position_embedding_2d(h: int, w: int, dim: int) -> np.ndarray:
     """Fixed 2-D sin-cos positional table ``[h*w, dim]`` (DiT convention:
     half the channels encode the row coordinate, half the column; each half
@@ -159,6 +184,7 @@ class DiTBlock(nn.Module):
     moe_experts: int = 0
     moe_capacity_factor: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    seq_axis_name: Optional[str] = None  # ring attention over this mesh axis
 
     @nn.compact
     def __call__(self, x, c, *, deterministic: bool = True):
@@ -188,9 +214,18 @@ class DiTBlock(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        from ..ops.attention import fused_attention
+        if self.seq_axis_name is not None:
+            # sequence-parallel: tokens sharded over a mesh axis; K/V blocks
+            # rotate around the ring with ppermute (parallel/ring_attention).
+            from ..parallel.ring_attention import ring_attention_local
 
-        attn = fused_attention(q * (head_dim**-0.5), k, v)  # Pallas on TPU
+            attn = ring_attention_local(
+                q * (head_dim**-0.5), k, v, self.seq_axis_name
+            )
+        else:
+            from ..ops.attention import fused_attention
+
+            attn = fused_attention(q * (head_dim**-0.5), k, v)  # Pallas on TPU
         attn = nn.Dense(D, dtype=self.dtype, name="attn_out")(
             attn.astype(h.dtype).reshape(B, N, D)
         )
@@ -257,6 +292,11 @@ class DiT(nn.Module):
     moe_capacity_factor: float = 1.0
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    # Sequence parallelism: when set, __call__ expects the LOCAL shard of a
+    # row-sharded image (run under shard_map with images split over this
+    # mesh axis on dim 1) and uses ring attention over the axis. Use the
+    # `sequence_parallel_dit_apply` helper (parallel/ring_attention.py).
+    seq_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time, classes=None, *, deterministic: bool = True):
@@ -272,8 +312,14 @@ class DiT(nn.Module):
             self.dim, (p, p), strides=(p, p), padding="VALID", dtype=dtype, name="patch_embed"
         )(x.astype(dtype))
         tok = tok.reshape(B, h * w, self.dim)
-        pos = sincos_position_embedding_2d(h, w, self.dim)
-        tok = tok + jnp.asarray(pos, dtype)[None]
+        if self.seq_axis_name is not None:
+            # Local shard of the row-major global sequence: offset the row
+            # coordinate by this device's block start.
+            row0 = jax.lax.axis_index(self.seq_axis_name) * h
+            pos = _sincos_position_embedding_rows(h, w, self.dim, row0).astype(dtype)
+        else:
+            pos = jnp.asarray(sincos_position_embedding_2d(h, w, self.dim), dtype)
+        tok = tok + pos[None]
 
         # Conditioning vector c = time embedding (+ class embedding).
         t = SinusoidalPositionEmbeddings(self.time_freq_dim, name="time_sinusoid")(
@@ -302,6 +348,7 @@ class DiT(nn.Module):
                 moe_experts=moe,
                 moe_capacity_factor=self.moe_capacity_factor,
                 dtype=dtype,
+                seq_axis_name=self.seq_axis_name,
                 name=f"block_{i}",
             )(tok, c, deterministic=deterministic)
 

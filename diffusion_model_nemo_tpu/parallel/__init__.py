@@ -9,6 +9,11 @@ from .mesh import (
     shard_batch,
 )
 from .pipeline import pipeline_apply, pipeline_spec, stack_pipeline_params
+from .ring_attention import (
+    ring_attention_local,
+    sequence_parallel_dit_apply,
+    sequence_sharded_attention,
+)
 from .sharding import (
     STRATEGIES,
     expert_param_shardings,
