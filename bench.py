@@ -252,6 +252,7 @@ def main() -> None:
     distill8 = None
     dpm20 = None
     edm18 = None
+    dit50 = None
     pc_sde = None
     dim128 = None
     train = None
@@ -344,6 +345,50 @@ def main() -> None:
             edm18 = {"sps": round(BATCH / sec, 1), "steps": 18, "order": 2, "nfe": 35}
         except Exception as e:
             edm18 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # DiT-S/2 transformer backbone at DDIM-50: the MXU-shaped network
+            # (pure [B, N, D] matmuls, modules/dit.py) — driver-visible so the
+            # transformer path's throughput/MFU regressions show up.
+            from diffusion_model_nemo_tpu.modules import (
+                DiT,
+                GeneralizedGaussianDiffusion,
+            )
+
+            net = DiT(
+                dim=384, depth=12, heads=6, patch_size=2, channels=3,
+                dtype="bfloat16",
+            )
+            shape = (BATCH, IMG, IMG, 3)
+            xz = jnp.zeros(shape, jnp.float32)
+            tz = jnp.zeros((BATCH,), jnp.float32)
+            dparams = net.init(jax.random.PRNGKey(8), xz, tz)["params"]
+
+            def dit_fn(p, x, t):
+                return net.apply({"params": p}, x, t)
+
+            dd = GeneralizedGaussianDiffusion(
+                timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
+            )
+            fused = jax.jit(lambda p, k: dd.p_sample_loop(dit_fn, p, shape, k))
+            key = jax.random.PRNGKey(9)
+            fused(dparams, key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 5
+            out = None
+            for i in range(RUNS):
+                out = fused(dparams, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            fwd = _forward_flops(dit_fn, dparams, shape)
+            dit50 = {
+                "sps": round(BATCH / sec, 1),
+                "steps": 50,
+                "mfu_pct": round(100.0 * fwd * 50 / (sec * peak), 2),
+                "params": sum(int(p.size) for p in jax.tree.leaves(dparams)),
+                "geometry": "DiT-S/2",
+            }
+        except Exception as e:
+            dit50 = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
             from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
             from diffusion_model_nemo_tpu.modules.sde_samplers import (
@@ -551,6 +596,7 @@ def main() -> None:
         "distill8": distill8,
         "dpm20": dpm20,
         "edm18": edm18,
+        "dit50": dit50,
         "pc_sde": pc_sde,
         "latent1000": latent,
         "tpu_s2d": s2d,
