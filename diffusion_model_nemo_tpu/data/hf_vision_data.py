@@ -312,6 +312,7 @@ class DataLoader:
         self.process_count = jax.process_count() if process_count is None else int(process_count)
         self._pool = None
         self._epoch = 0
+        self._skip = 0  # batches to skip at the start of the next epoch
 
     def _executor(self):
         if self._pool is None:
@@ -338,6 +339,21 @@ class DataLoader:
             out = out[:, :, None]
         return out
 
+    def set_position(self, epoch: int, batch_offset: int) -> None:
+        """Fast-forward the data stream for deterministic resume.
+
+        Iteration order is a pure function of (seed, epoch, batch index) —
+        the shuffle is epoch-seeded — so positioning costs nothing: the next
+        ``__iter__`` replays epoch ``epoch`` and starts at ``batch_offset``
+        (skipped batches are never fetched or decoded). Subsequent epochs
+        start at 0 as usual. The Trainer derives the position from the
+        resumed step, making a resumed run consume exactly the batches an
+        uninterrupted run would (the reference loses data order on resume —
+        PTL restarts its DataLoader from scratch).
+        """
+        self._epoch = int(epoch)
+        self._skip = int(batch_offset)
+
     def _fetch(self, idx) -> Dict[str, np.ndarray]:
         item = self.dataset[idx]
         if "image" in item:
@@ -354,9 +370,10 @@ class DataLoader:
         if self.process_count > 1:  # same shuffle everywhere, disjoint slices
             order = order[self.process_index :: self.process_count]
         self._epoch += 1
+        skip, self._skip = self._skip, 0
 
         nb = len(self)
-        for b in range(nb):
+        for b in range(skip, nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
             if self.num_workers > 0:
                 items = list(self._executor().map(self._fetch, idxs))

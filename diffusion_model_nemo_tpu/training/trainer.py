@@ -210,10 +210,27 @@ class Trainer:
         group = accum if accum > 1 else spe  # batches stacked [group, B, ...]
         stacked = group > 1
 
+        resume_epoch = 0
+        if start_step:
+            # Deterministic data resume: iteration order is a pure function
+            # of (seed, epoch, batch index), so fast-forward the loader to
+            # where an uninterrupted run would be at start_step. Combined
+            # with the step-derived fold_in key stream in the update fn,
+            # a resumed run is bit-identical to a continuous one (the
+            # reference restarts PTL's DataLoader from scratch on resume).
+            raw_dl = getattr(train_dl, "loader", train_dl)
+            if hasattr(raw_dl, "set_position"):
+                n_groups = start_step // spe if spe > 1 else start_step
+                groups_per_epoch = max(len(raw_dl) // group, 1)
+                resume_epoch = n_groups // groups_per_epoch
+                raw_dl.set_position(
+                    resume_epoch, (n_groups % groups_per_epoch) * group
+                )
+
         base_key = jax.random.PRNGKey(self.seed)
         step = start_step  # host mirror for cadence/logging control flow
         step_dev = jnp.asarray(start_step, jnp.int32)  # carried device scalar
-        epoch = 0
+        epoch = resume_epoch
         t_last = time.perf_counter()
         samples_since = 0
         done = False
