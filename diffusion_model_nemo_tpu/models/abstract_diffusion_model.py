@@ -106,26 +106,37 @@ class AbstractDiffusionModel:
         the U-Net sees the downsampled latent, not the image — override)."""
         return int(self.image_size)
 
-    def model_fn(self, params, x, t, classes=None, dropout_rng=None):
+    def model_fn(self, params, x, t, classes=None, dropout_rng=None, aug_cond=None):
         """Pure network application; subclasses may bind conditioning.
 
         ``dropout_rng`` activates dropout (training mode); inference is
-        deterministic."""
+        deterministic. ``aug_cond`` is the non-leaky augmentation descriptor
+        (data/augment.py) for networks built with ``aug_dim > 0``."""
         kwargs = {}
         if classes is not None:
             kwargs["classes"] = classes
+        if aug_cond is not None:
+            kwargs["aug_cond"] = aug_cond
         rngs = None
         if dropout_rng is not None:
             kwargs["deterministic"] = False
             rngs = {"dropout": dropout_rng}
         return self.diffusion_model.apply({"params": params}, x, t, rngs=rngs, **kwargs)
 
-    def get_model_fn(self, batch: Optional[Dict] = None, training: bool = False, key=None):
+    def get_model_fn(
+        self,
+        batch: Optional[Dict] = None,
+        training: bool = False,
+        key=None,
+        aug_cond=None,
+    ):
         """Returns ``model_fn(params, x, t)`` possibly bound to batch
         conditioning (reference ``get_diffusion_model``) and, when training,
-        a dropout rng."""
+        a dropout rng (and the augmentation descriptor, if any)."""
         dropout_rng = key if training else None
-        return lambda params, x, t: self.model_fn(params, x, t, dropout_rng=dropout_rng)
+        return lambda params, x, t: self.model_fn(
+            params, x, t, dropout_rng=dropout_rng, aug_cond=aug_cond
+        )
 
     def forward(self, x_t, t, classes=None):
         """Reference-compatible convenience: apply the network with the

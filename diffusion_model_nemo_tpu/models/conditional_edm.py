@@ -50,13 +50,15 @@ class ConditionalEDM(EDM):
         self.cond_drop_prob = float(self.cfg.get("cond_drop_prob", 0.5))
 
     # ---- conditioning plumbing --------------------------------------------------
-    def model_fn(self, params, x, t, classes=None, dropout_rng=None):
+    def model_fn(self, params, x, t, classes=None, dropout_rng=None, aug_cond=None):
         """Unlabelled calls run as the null class (the jointly-trained
         unconditional mode), so every inherited EDM surface — sampling,
         encode, interpolate, unlabelled NLL — works unconditioned."""
         if classes is None:
             classes = jnp.full((x.shape[0],), self.random_class_index, dtype=jnp.int32)
-        return super().model_fn(params, x, t, classes=classes, dropout_rng=dropout_rng)
+        return super().model_fn(
+            params, x, t, classes=classes, dropout_rng=dropout_rng, aug_cond=aug_cond
+        )
 
     def _bind_classes(self, labels):
         if labels is None:
@@ -65,7 +67,7 @@ class ConditionalEDM(EDM):
             params, x, t, classes=jnp.broadcast_to(labels, (x.shape[0],))
         )
 
-    def get_model_fn(self, batch=None, training: bool = False, key=None):
+    def get_model_fn(self, batch=None, training: bool = False, key=None, aug_cond=None):
         """Bind batch labels; in training randomly null-mask
         ``cond_drop_prob`` of them (the ConditionalDDPM recipe —
         conditional_ddpm.py:51-67 in the reference). ``key`` drives both the
@@ -74,13 +76,15 @@ class ConditionalEDM(EDM):
         if training and key is not None:
             k_mask, k_drop = jax.random.split(key)
         if batch is None or "label" not in batch:
-            return lambda params, x, t: self.model_fn(params, x, t, dropout_rng=k_drop)
+            return lambda params, x, t: self.model_fn(
+                params, x, t, dropout_rng=k_drop, aug_cond=aug_cond
+            )
         label = batch["label"].astype(jnp.int32)
         if training and k_mask is not None:
             mask = jax.random.bernoulli(k_mask, self.cond_drop_prob, label.shape)
             label = jnp.where(mask, self.random_class_index, label)
         return lambda params, x, t: self.model_fn(
-            params, x, t, classes=label, dropout_rng=k_drop
+            params, x, t, classes=label, dropout_rng=k_drop, aug_cond=aug_cond
         )
 
     # ---- guided sampling ---------------------------------------------------------

@@ -42,6 +42,17 @@ class EDM(AbstractDiffusionModel):
                 "loss.sigma_data and sampler.sigma_data must match "
                 f"(got {self.loss.sigma_data} vs {self.sampler.sigma_data})"
             )
+        # Non-leaky augmentation (Karras et al. 2022 §5; data/augment.py):
+        # geometric transforms applied with probability `augment_prob`, the
+        # network conditioned on the applied-transform descriptor, sampling
+        # conditioned on zeros ("nothing applied").
+        self.augment_prob = float(self.cfg.get("augment_prob", 0.0) or 0.0)
+        self.augment_kwargs = dict(self.cfg.get("augment_kwargs") or {})
+        if self.augment_prob > 0.0 and not getattr(self.diffusion_model, "aug_dim", 0):
+            raise ValueError(
+                "augment_prob > 0 needs a descriptor input on the network: "
+                "set model.diffusion_model.aug_dim: 9 (data/augment.AUGMENT_DIM)"
+            )
 
     def _example_time(self) -> jnp.ndarray:
         # representative conditioning magnitude: c_noise at sigma = 1 is 0
@@ -67,7 +78,20 @@ class EDM(AbstractDiffusionModel):
         samples = proc["pixel_values"]
         B = samples.shape[0]
 
-        model_fn = self.get_model_fn(proc, training=True, key=k_drop)
+        aug_labels = None
+        if self.augment_prob > 0.0:
+            # fold_in-tagged key (repo key-stream contract): augment_prob=0
+            # keeps the baseline stream bitwise.
+            from ..data.augment import augment_pipe
+
+            samples, aug_labels = augment_pipe(
+                samples,
+                jax.random.fold_in(key, 0x617567),  # "aug"
+                self.augment_prob,
+                **self.augment_kwargs,
+            )
+
+        model_fn = self.get_model_fn(proc, training=True, key=k_drop, aug_cond=aug_labels)
 
         sigma = self.sampler.sample_sigmas(k_sig, B)
         noise = jax.random.normal(k_noise, samples.shape, samples.dtype)

@@ -290,6 +290,10 @@ class DiT(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity_factor: float = 1.0
+    # Non-leaky augmentation conditioning (EDM-style, data/augment.py):
+    # zero-init no-bias Dense adds the applied-transform descriptor to the
+    # conditioning vector c; None == zero descriptor exactly.
+    aug_dim: int = 0
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
     # Sequence parallelism: when set, __call__ expects the LOCAL shard of a
@@ -299,7 +303,7 @@ class DiT(nn.Module):
     seq_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, time, classes=None, *, deterministic: bool = True):
+    def __call__(self, x, time, classes=None, aug_cond=None, *, deterministic: bool = True):
         dtype = _resolve_dtype(self.dtype)
         B, H, W, Cin = x.shape
         p = int(self.patch_size)
@@ -334,6 +338,19 @@ class DiT(nn.Module):
             c = c + nn.Embed(self.num_classes + 1, self.dim, name="class_embed")(
                 classes
             ).astype(dtype)
+        if self.aug_dim:
+            a = (
+                aug_cond
+                if aug_cond is not None
+                else jnp.zeros((c.shape[0], self.aug_dim))
+            )
+            c = c + nn.Dense(
+                self.dim,
+                use_bias=False,
+                kernel_init=nn.initializers.zeros,
+                dtype=dtype,
+                name="aug_embed",
+            )(a.astype(dtype))
 
         block_cls = DiTBlock
         if self.remat:

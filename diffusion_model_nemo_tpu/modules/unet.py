@@ -94,6 +94,11 @@ class Unet(nn.Module):
     dropout: Optional[float] = None
     learned_variance: bool = False
     num_classes: Optional[int] = None
+    # Non-leaky augmentation conditioning (EDM-style, data/augment.py):
+    # descriptor width of the applied-transform vector. A zero-initialized
+    # no-bias Dense adds it to the time embedding, so a zero descriptor
+    # (and a None one — Dense(0) == skip exactly) is the identity.
+    aug_dim: int = 0
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
     # TPU-geometry fast path (opt-in; default preserves reference numerics).
@@ -160,7 +165,7 @@ class Unet(nn.Module):
         return dims, in_out
 
     @nn.compact
-    def __call__(self, x, time, classes=None, *, deterministic: bool = True):
+    def __call__(self, x, time, classes=None, aug_cond=None, *, deterministic: bool = True):
         dtype = _resolve_dtype(self.dtype)
         dims, in_out = self._dims()
         num_resolutions = len(in_out)
@@ -187,6 +192,21 @@ class Unet(nn.Module):
             t = nn.Dense(time_dim, dtype=dtype, name="time_dense0")(t.astype(dtype))
             t = nn.gelu(t)
             t = nn.Dense(time_dim, dtype=dtype, name="time_dense1")(t)
+            if self.aug_dim:
+                # created unconditionally (param-tree stability); a None
+                # descriptor feeds zeros, and no-bias Dense(0) == 0 exactly
+                a = (
+                    aug_cond
+                    if aug_cond is not None
+                    else jnp.zeros((t.shape[0], self.aug_dim))
+                )
+                t = t + nn.Dense(
+                    time_dim,
+                    use_bias=False,
+                    kernel_init=nn.initializers.zeros,
+                    dtype=dtype,
+                    name="aug_embed",
+                )(a.astype(dtype))
         else:
             t = None
 

@@ -154,6 +154,11 @@ def sequence_parallel_dit_apply(
     token sequence. Everything else in the DiT is token-local, so only the
     attention core communicates (ppermute over ICI). Fully differentiable:
     jit/grad through this call for sequence-parallel training.
+
+    Note: with ``moe_experts > 0`` the expert-choice top-C routing becomes
+    shard-local (each device's experts rank only its own tokens) — standard
+    practice for sequence-sharded MoE, but not numerically identical to the
+    unsharded module.
     """
     n = int(mesh.shape[axis_name])
     p = int(module.patch_size)

@@ -85,7 +85,7 @@ def test_training_masks_labels_to_null_class():
     m = _model()
     seen = {}
 
-    def spy(params, x, t, classes=None, dropout_rng=None):
+    def spy(params, x, t, classes=None, dropout_rng=None, aug_cond=None):
         seen["classes"] = classes
         return jnp.zeros_like(x)
 
@@ -115,7 +115,7 @@ def test_cond_drop_prob_override():
     m = _model(cond_drop_prob=1.0)
     seen = {}
 
-    def spy(params, x, t, classes=None, dropout_rng=None):
+    def spy(params, x, t, classes=None, dropout_rng=None, aug_cond=None):
         seen["classes"] = classes
         return jnp.zeros_like(x)
 
