@@ -59,6 +59,9 @@ class Trainer:
         profile_num_steps: int = 5,
         terminate_on_nan: bool = True,
         compile_cache_dir: Optional[str] = None,
+        posthoc_ema_sigma_rels: Optional[Any] = None,  # e.g. [0.05, 0.10] enables post-hoc EMA
+        posthoc_ema_every_n_steps: int = 1024,
+        posthoc_ema_dir: Optional[str] = None,
         **_unused,
     ):
         if compile_cache_dir:
@@ -87,6 +90,19 @@ class Trainer:
                 "accumulate_grad_batches > 1; running single-step dispatch"
             )
             self.steps_per_execution = 1
+        # Post-hoc EMA (Karras 2024 power-function averaging): requires one
+        # optimizer step per dispatch so the per-step profile update runs at
+        # the right t (the multi-step scan would skip intermediate params).
+        self.posthoc_ema_sigma_rels = (
+            [float(s) for s in posthoc_ema_sigma_rels] if posthoc_ema_sigma_rels else None
+        )
+        self.posthoc_ema_every_n_steps = int(posthoc_ema_every_n_steps)
+        self.posthoc_ema_dir = posthoc_ema_dir
+        if self.posthoc_ema_sigma_rels and self.steps_per_execution > 1:
+            logging.warning(
+                "posthoc_ema is unsupported with steps_per_execution > 1; disabling it"
+            )
+            self.posthoc_ema_sigma_rels = None
         self.gradient_clip_val = gradient_clip_val
         self.precision = precision
         self.log_every_n_steps = int(log_every_n_steps)
@@ -201,6 +217,37 @@ class Trainer:
             start_step = int(resume_state["step"])
             logging.info(f"Resumed training from step {start_step}")
 
+        # Post-hoc EMA: tracked power-function averages live alongside the
+        # classic EMA, donated by their own jitted update, snapshotted at a
+        # fixed cadence, and carried through checkpoints (bitwise resume).
+        phema = None
+        phema_state = None
+        if self.posthoc_ema_sigma_rels:
+            from .posthoc_ema import PostHocEMA
+
+            phema_dir = self.posthoc_ema_dir or (
+                str(self.exp_manager_hooks.log_dir / "phema")
+                if self.exp_manager_hooks
+                else "./phema"
+            )
+            phema = PostHocEMA(
+                phema_dir, self.posthoc_ema_sigma_rels, self.posthoc_ema_every_n_steps
+            )
+            if resume_state is not None and resume_state.get("phema") is not None:
+                phema_state = [
+                    jax.device_put(t, p_shard) for t in resume_state["phema"]
+                ]
+            else:
+                phema_state = [
+                    jax.device_put(jax.tree.map(jnp.copy, model.params), p_shard)
+                    for _ in phema.gammas
+                ]
+            logging.info(
+                f"Post-hoc EMA tracking sigma_rels={phema.sigma_rels} "
+                f"(gammas={tuple(round(g, 3) for g in phema.gammas)}), "
+                f"snapshots every {phema.every} steps -> {phema.dir}"
+            )
+
         accum = self.accumulate_grad_batches
         spe = self.steps_per_execution
         if spe > 1:
@@ -271,8 +318,15 @@ class Trainer:
                         params, opt_state, ema_params, batch, base_key, step_dev
                     )
                     newly = 1
+                if phema is not None:
+                    # step_dev is post-increment = completed optimizer steps,
+                    # exactly the profile time t the update needs. params are
+                    # read (not donated) — the next train update donates them.
+                    phema_state = phema.jitted_update()(phema_state, params, step_dev)
                 prev_step = step
                 step += newly
+                if phema is not None:
+                    phema.maybe_snapshot(phema_state, step)
                 self.global_step = step
                 lead = next(iter(host_batch.values())).shape
                 samples_since += lead[0] * (lead[1] if stacked else 1)
@@ -334,14 +388,17 @@ class Trainer:
                 # 8300 samples/sec sustained once removed.
                 hooks = self.exp_manager_hooks
                 if hooks and hooks.should_checkpoint(step):
+                    ckpt_state = {
+                        "params": params,
+                        "ema_params": ema_params,
+                        "opt_state": opt_state,
+                        "step": step,
+                    }
+                    if phema_state is not None:
+                        ckpt_state["phema"] = phema_state
                     hooks.maybe_checkpoint(
                         step,
-                        {
-                            "params": params,
-                            "ema_params": ema_params,
-                            "opt_state": opt_state,
-                            "step": step,
-                        },
+                        ckpt_state,
                         metrics={"train_loss": float(metrics.get("train_loss", 0.0))},
                     )
             epoch += 1
@@ -350,11 +407,20 @@ class Trainer:
 
         model.params = params
         model.ema_params = ema_params
+        if phema is not None and step > start_step:
+            # Always capture the final profile time: the reconstruction
+            # target t_r defaults to the latest snapshot.
+            phema.snapshot(phema_state, step)
         if self.exp_manager_hooks:
-            self.exp_manager_hooks.finalize(
-                model,
-                {"params": params, "ema_params": ema_params, "opt_state": opt_state, "step": step},
-            )
+            final_state = {
+                "params": params,
+                "ema_params": ema_params,
+                "opt_state": opt_state,
+                "step": step,
+            }
+            if phema_state is not None:
+                final_state["phema"] = phema_state
+            self.exp_manager_hooks.finalize(model, final_state)
         logging.info(f"Training finished at step {step}")
 
     # ----------------------------------------------------------- update fn ----
