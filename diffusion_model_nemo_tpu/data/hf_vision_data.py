@@ -122,7 +122,10 @@ class FileVisionDataset:
     - ``*.npy`` — a single image array (no labels);
     - a directory of image files (png/jpg/jpeg/bmp), lazily PIL-decoded per
       item (parallel decode via ``DataLoader(num_workers=...)``), with an
-      optional ``labels.npy`` aligned to the sorted file order.
+      optional ``labels.npy`` aligned to the sorted file order and an
+      optional ``captions.txt`` (one caption per line, same order) that is
+      byte-tokenized when ``caption_len > 0`` — the real-data path for the
+      text-conditional family.
 
     Image arrays may be NCHW or NHWC, uint8 or float in [0, 1] / [-1, 1] —
     normalized here to uint8 HWC like every other dataset.
@@ -136,6 +139,7 @@ class FileVisionDataset:
         image_key: str = "images",
         label_key: str = "labels",
         mode: str = "train",
+        caption_len: int = 0,
     ):
         from pathlib import Path
 
@@ -145,6 +149,7 @@ class FileVisionDataset:
         self._files = None
         self._images = None
         self._labels = None
+        self._tokens = None
         if p.is_dir():
             self._files = sorted(
                 f for f in p.iterdir() if f.suffix.lower() in self._IMG_EXTS
@@ -159,6 +164,17 @@ class FileVisionDataset:
                         f"labels.npy has {len(self._labels)} entries for "
                         f"{len(self._files)} image files"
                     )
+            cap = p / "captions.txt"
+            if caption_len and cap.exists():
+                lines = cap.read_text().splitlines()
+                if len(lines) != len(self._files):
+                    raise ValueError(
+                        f"captions.txt has {len(lines)} lines for "
+                        f"{len(self._files)} image files"
+                    )
+                from ..utils.text import ByteTokenizer
+
+                self._tokens = ByteTokenizer(int(caption_len)).encode_batch(lines)
         elif p.suffix == ".npz":
             data = np.load(p)
             if image_key not in data:
@@ -188,6 +204,8 @@ class FileVisionDataset:
         out = {"image": img}
         if self._labels is not None:
             out["label"] = np.int32(self._labels[i])
+        if self._tokens is not None:
+            out["tokens"] = self._tokens[i]
         return out
 
 
@@ -221,6 +239,7 @@ class SyntheticVisionDataset:
         length: int = 512,
         seed: int = 0,
         mode: str = "train",
+        caption_len: int = 0,
     ):
         self.image_size = image_size
         self.channels = channels
@@ -231,13 +250,26 @@ class SyntheticVisionDataset:
             0, 256, size=(min(length, 512), image_size, image_size, channels), dtype=np.uint8
         )
         self._labels = self.rng.randint(0, num_classes, size=(min(length, 512),)).astype(np.int32)
+        # caption_len > 0: deterministic label-derived captions for the
+        # text-conditional family (offline text-to-image path).
+        self._tokens = None
+        if caption_len:
+            from ..utils.text import ByteTokenizer
+
+            tok = ByteTokenizer(int(caption_len))
+            self._tokens = tok.encode_batch(
+                [f"a photo of class {int(l)}" for l in self._labels]
+            )
 
     def __len__(self) -> int:
         return self.length
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         i = int(idx) % self._images.shape[0]
-        return {"image": self._images[i], "label": self._labels[i]}
+        out = {"image": self._images[i], "label": self._labels[i]}
+        if self._tokens is not None:
+            out["tokens"] = self._tokens[i]
+        return out
 
 
 class SyntheticAudioDataset:
@@ -399,6 +431,7 @@ def build_dataloader(cfg, mode: str) -> DataLoader:
             num_classes=int(cfg.get("num_classes", 10) or 10),
             length=int(cfg.get("length", 512)),
             mode=mode,
+            caption_len=int(cfg.get("caption_len", 0) or 0),
         )
     elif name == "file":
         dataset = FileVisionDataset(
@@ -406,6 +439,7 @@ def build_dataloader(cfg, mode: str) -> DataLoader:
             image_key=str(cfg.get("image_key", "images")),
             label_key=str(cfg.get("label_key", "labels")),
             mode=mode,
+            caption_len=int(cfg.get("caption_len", 0) or 0),
         )
     else:
         dataset = HFVisionDataset(
@@ -436,6 +470,8 @@ def preprocess_batch(
     out = {"pixel_values": x}
     if "label" in batch:
         out["label"] = batch["label"].astype(jnp.int32)
+    if "tokens" in batch:
+        out["tokens"] = batch["tokens"].astype(jnp.int32)
     return out
 
 

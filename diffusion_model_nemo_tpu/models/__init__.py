@@ -9,6 +9,7 @@ from .latent_diffusion import LatentDiffusion
 from .rectified_flow import RectifiedFlow
 from .score_sde import ScoreSDE
 from .sr3 import SR3
+from .text_conditional_ddpm import TextConditionalDDPM
 from .wavegrad_ddpm import WavegradDDPM
 from .wavegrad_vocoder import WavegradVocoderModel
 
@@ -25,6 +26,7 @@ _MODEL_CLASSES = {
         RectifiedFlow,
         ScoreSDE,
         SR3,
+        TextConditionalDDPM,
         WavegradDDPM,
         WavegradVocoderModel,
     )

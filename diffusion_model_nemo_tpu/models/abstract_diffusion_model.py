@@ -82,10 +82,7 @@ class AbstractDiffusionModel:
         s = self._example_spatial_size()
         x = jnp.zeros((1, s, s, self._example_input_channels()), jnp.float32)
         t = self._example_time()
-        kwargs = {}
-        if getattr(self.diffusion_model, "num_classes", None):
-            kwargs["classes"] = jnp.zeros((1,), jnp.int32)
-        variables = self.diffusion_model.init(key, x, t, **kwargs)
+        variables = self.diffusion_model.init(key, x, t, **self._example_network_kwargs())
         self.params = variables["params"]
         # real copy — params and ema are independently donated by the train step
         self.ema_params = jax.tree.map(jnp.copy, self.params)
@@ -95,6 +92,14 @@ class AbstractDiffusionModel:
 
     def _example_time(self) -> jnp.ndarray:
         return jnp.zeros((1,), jnp.float32)
+
+    def _example_network_kwargs(self) -> Dict[str, Any]:
+        """Extra network-init kwargs for conditioned backbones (subclasses
+        with sequence conditioning extend this)."""
+        kwargs: Dict[str, Any] = {}
+        if getattr(self.diffusion_model, "num_classes", None):
+            kwargs["classes"] = jnp.zeros((1,), jnp.int32)
+        return kwargs
 
     def _example_input_channels(self) -> int:
         """Channels of the network's image input (conditioned models — e.g.
@@ -106,17 +111,22 @@ class AbstractDiffusionModel:
         the U-Net sees the downsampled latent, not the image — override)."""
         return int(self.image_size)
 
-    def model_fn(self, params, x, t, classes=None, dropout_rng=None, aug_cond=None):
+    def model_fn(self, params, x, t, classes=None, dropout_rng=None, aug_cond=None,
+                 context=None):
         """Pure network application; subclasses may bind conditioning.
 
         ``dropout_rng`` activates dropout (training mode); inference is
         deterministic. ``aug_cond`` is the non-leaky augmentation descriptor
-        (data/augment.py) for networks built with ``aug_dim > 0``."""
+        (data/augment.py) for networks built with ``aug_dim > 0``;
+        ``context`` is the sequence-conditioning input (token ids or float
+        embeddings) for backbones built with ``context_dim > 0``."""
         kwargs = {}
         if classes is not None:
             kwargs["classes"] = classes
         if aug_cond is not None:
             kwargs["aug_cond"] = aug_cond
+        if context is not None:
+            kwargs["context"] = context
         rngs = None
         if dropout_rng is not None:
             kwargs["deterministic"] = False

@@ -80,6 +80,18 @@ def _sincos_position_embedding_rows(
     return jnp.concatenate([emb_1d(gy.reshape(-1)), emb_1d(gx.reshape(-1))], axis=-1)
 
 
+def sincos_position_embedding_1d(n: int, dim: int) -> np.ndarray:
+    """Fixed 1-D sin‖cos positional table ``[n, dim]`` (base 10000) for the
+    context token sequence. Host-side, static shapes — folds into the
+    compiled graph as a constant."""
+    if dim % 2:
+        raise ValueError(f"1-D position embedding needs dim % 2 == 0, got {dim}")
+    half = dim // 2
+    freq = np.exp(-math.log(10000.0) * np.arange(half) / half)
+    ang = np.arange(n, dtype=np.float64)[:, None] * freq[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1).astype(np.float32)
+
+
 def sincos_position_embedding_2d(h: int, w: int, dim: int) -> np.ndarray:
     """Fixed 2-D sin-cos positional table ``[h*w, dim]`` (DiT convention:
     half the channels encode the row coordinate, half the column; each half
@@ -185,9 +197,10 @@ class DiTBlock(nn.Module):
     moe_capacity_factor: float = 1.0
     dtype: jnp.dtype = jnp.float32
     seq_axis_name: Optional[str] = None  # ring attention over this mesh axis
+    cross_attention: bool = False  # sequence conditioning (context tokens)
 
     @nn.compact
-    def __call__(self, x, c, *, deterministic: bool = True):
+    def __call__(self, x, c, context=None, context_mask=None, *, deterministic: bool = True):
         D = self.dim
         if D % self.heads:
             raise ValueError(f"dim {D} not divisible by heads {self.heads}")
@@ -232,6 +245,47 @@ class DiTBlock(nn.Module):
         if self.dropout:
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = x + g1[:, None, :] * attn
+
+        # --- cross-attention branch (sequence conditioning) -------------------
+        # Standard text-to-image block order (self-attn -> cross-attn -> MLP):
+        # queries from the image tokens, keys/values from the context
+        # sequence; zero-initialized output projection makes the branch the
+        # identity at init (matching the adaLN-Zero convention), so adding
+        # context capability never perturbs an un-trained forward. Each query
+        # is independent, so the branch is token-local and composes with
+        # sequence parallelism (context replicated per shard).
+        if self.cross_attention and context is not None:
+            hca = ln("norm_ca")(x)
+            q_ca = nn.Dense(D, dtype=self.dtype, name="ca_q")(hca)
+            q_ca = q_ca.reshape(B, N, self.heads, head_dim)
+            L = context.shape[1]
+            kv = nn.Dense(2 * D, dtype=self.dtype, name="ca_kv")(
+                context.astype(self.dtype)
+            ).reshape(B, L, 2, self.heads, head_dim)
+            k_ca, v_ca = kv[:, :, 0], kv[:, :, 1]
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q_ca, k_ca, preferred_element_type=jnp.float32
+            ) * (head_dim ** -0.5)
+            if context_mask is not None:
+                # Finite mask value: softmax stays NaN-free even for rows
+                # with a single valid token.
+                logits = jnp.where(context_mask[:, None, None, :], logits, -1e9)
+            w_ca = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            o_ca = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                w_ca.astype(self.dtype),
+                v_ca,
+                preferred_element_type=jnp.float32,
+            )
+            o_ca = nn.Dense(
+                D,
+                kernel_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="ca_out",
+            )(o_ca.astype(self.dtype).reshape(B, N, D))
+            if self.dropout:
+                o_ca = nn.Dropout(self.dropout, deterministic=deterministic)(o_ca)
+            x = x + o_ca
 
         # --- MLP / MoE branch ------------------------------------------------
         h = modulate(ln("norm2")(x), sh2, sc2)
@@ -294,6 +348,15 @@ class DiT(nn.Module):
     # zero-init no-bias Dense adds the applied-transform descriptor to the
     # conditioning vector c; None == zero descriptor exactly.
     aug_dim: int = 0
+    # Sequence conditioning (text-to-image shaped): context_dim > 0 adds a
+    # cross-attention branch to every block. ``context`` may be integer
+    # tokens [B, L] (embedded in-module when context_vocab > 0; id 0 = PAD,
+    # utils/text.ByteTokenizer convention) or pre-computed float embeddings
+    # [B, L, context_dim] from an external encoder. context=None falls back
+    # to the null context (a single PAD token — the learned unconditional
+    # embedding classifier-free guidance trains).
+    context_dim: int = 0
+    context_vocab: int = 0
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
     # Sequence parallelism: when set, __call__ expects the LOCAL shard of a
@@ -303,7 +366,9 @@ class DiT(nn.Module):
     seq_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, time, classes=None, aug_cond=None, *, deterministic: bool = True):
+    def __call__(
+        self, x, time, classes=None, aug_cond=None, context=None, *, deterministic: bool = True
+    ):
         dtype = _resolve_dtype(self.dtype)
         B, H, W, Cin = x.shape
         p = int(self.patch_size)
@@ -352,12 +417,42 @@ class DiT(nn.Module):
                 name="aug_embed",
             )(a.astype(dtype))
 
+        # Context sequence for cross-attention (text-to-image conditioning).
+        ctx = ctx_mask = None
+        if self.context_dim:
+            if context is None:
+                # Null context: one PAD token — the learned unconditional
+                # embedding (requires in-module token embedding).
+                if not self.context_vocab:
+                    raise ValueError(
+                        "DiT(context_dim>0, context_vocab=0) needs an explicit "
+                        "float context [B, L, context_dim]"
+                    )
+                context = jnp.zeros((B, 1), jnp.int32)
+            if jnp.issubdtype(context.dtype, jnp.integer):
+                if not self.context_vocab:
+                    raise ValueError("integer token context needs context_vocab > 0")
+                # Position 0 is always attended: an all-PAD row attends to
+                # exactly the PAD embedding (the CFG null context) instead of
+                # an all-masked softmax.
+                ctx_mask = (context != 0).at[:, 0].set(True)
+                ctx = nn.Embed(
+                    self.context_vocab, self.context_dim, name="context_embed"
+                )(context)
+                ctx = ctx + jnp.asarray(
+                    sincos_position_embedding_1d(context.shape[1], self.context_dim)
+                )[None]
+            else:
+                ctx = context
+                ctx_mask = jnp.ones(context.shape[:2], bool)
+            ctx = ctx.astype(dtype)
+
         block_cls = DiTBlock
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=())
         for i in range(self.depth):
             moe = self.moe_experts if (self.moe_experts and i % max(self.moe_every, 1) == 0) else 0
-            tok = block_cls(
+            blk = block_cls(
                 dim=self.dim,
                 heads=self.heads,
                 mlp_ratio=self.mlp_ratio,
@@ -366,8 +461,13 @@ class DiT(nn.Module):
                 moe_capacity_factor=self.moe_capacity_factor,
                 dtype=dtype,
                 seq_axis_name=self.seq_axis_name,
+                cross_attention=bool(self.context_dim),
                 name=f"block_{i}",
-            )(tok, c, deterministic=deterministic)
+            )
+            if self.context_dim:
+                tok = blk(tok, c, ctx, ctx_mask, deterministic=deterministic)
+            else:
+                tok = blk(tok, c, deterministic=deterministic)
 
         default_out_dim = self.channels * (1 if not self.learned_variance else 2)
         out_dim = self.out_dim if self.out_dim is not None else default_out_dim
