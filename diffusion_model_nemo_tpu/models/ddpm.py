@@ -226,6 +226,80 @@ class DDPM(AbstractDiffusionModel):
             mesh_cache_key(mesh), shard_axis,
         )(params, jnp.asarray(known, jnp.float32), mask, key)
 
+    def edit(
+        self,
+        images: jnp.ndarray,
+        strength: float = 0.5,
+        key: Optional[jax.Array] = None,
+        use_ema: bool = False,
+        mesh=None,
+        shard_axis: str = "batch",
+    ):
+        """SDEdit image-to-image (Meng et al. 2022) — guided editing with any
+        trained DDPM-family model, no retraining (beyond the reference's
+        sampling surface, like ``inpaint``): noise the input to the
+        intermediate step t0 = round(strength·(T−1)) with the closed-form
+        ``q_sample``, then run the last t0 ancestral steps of the fused
+        reverse scan. Small ``strength`` preserves the input's structure;
+        ``strength=1`` is ordinary sampling anchored at the input's coarse
+        layout; ``strength=0`` is (up to the √(1−ᾱ₀) forward noise) the
+        identity.
+
+        Args:
+            images: [B, H, W, C] in [0, 1] display space.
+            strength: edit strength in [0, 1] (fraction of the chain re-run).
+
+        Returns [B, H, W, C] in [0, 1]. One fused jit per (shape, strength);
+        ``mesh``/``shard_axis`` shard like ``DDPM.sample``.
+        """
+        from ..modules.gaussian_diffusion import GaussianDiffusion
+
+        if not isinstance(self.sampler, GaussianDiffusion):
+            raise ValueError(
+                "edit requires a GaussianDiffusion-family sampler (got "
+                f"{type(self.sampler).__name__}); SDEdit re-runs the ancestral chain"
+            )
+        if not 0.0 <= float(strength) <= 1.0:
+            raise ValueError(f"strength must be in [0, 1], got {strength}")
+        assert images.ndim == 4, f"images is not a batch: {images.shape}"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shape = tuple(images.shape)
+        t0 = int(round(float(strength) * (self.timesteps - 1)))
+        model_fn = self.get_model_fn()
+        sampler = self.sampler
+        from ..parallel import mesh_cache_key, sample_shardings
+
+        def build():
+            def fn(params, images, key):
+                k_noise, k_loop = jax.random.split(key)
+                x0 = images * 2.0 - 1.0
+                t_b = jnp.full((shape[0],), t0, dtype=jnp.int32)
+                x_t0 = sampler.q_sample(
+                    x0, t_b, jax.random.normal(k_noise, shape, jnp.float32)
+                )
+                # Unbound base-class call: a DDIM-configured sampler
+                # (GeneralizedGaussianDiffusion) overrides p_sample_loop with
+                # the strided chain that ignores num_steps — but keeps the
+                # ancestral p_mean_variance/constants intact (same reason
+                # RePaint works on DDIM archives, modules/repaint.py). SDEdit
+                # is defined on the ancestral partial chain, so always run
+                # that one.
+                return GaussianDiffusion.p_sample_loop(
+                    sampler, model_fn, params, shape, k_loop, img=x_t0, num_steps=t0
+                )
+
+            if mesh is None:
+                if shard_axis != "batch":
+                    raise ValueError(f"shard_axis={shard_axis!r} requires mesh=")
+                return jax.jit(fn)
+            rep, out, _ = sample_shardings(mesh, shape, shard_axis, frames=True)
+            return jax.jit(fn, in_shardings=(rep, out, rep), out_shardings=out)
+
+        params = self.ema_params if use_ema else self.params
+        return self._jitted(
+            "edit", build, shape, t0, mesh_cache_key(mesh), shard_axis
+        )(params, jnp.asarray(images, jnp.float32), key)
+
     def interpolate(
         self,
         x1: jnp.ndarray,

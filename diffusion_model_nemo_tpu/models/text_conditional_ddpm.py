@@ -112,13 +112,16 @@ class TextConditionalDDPM(DDPM):
         return loss, {"train_loss": loss}
 
     # ---- inference -----------------------------------------------------------
-    def _cfg_model_fn(self, tokens, guidance_scale: float):
+    def _cfg_model_fn(self, tokens, null, guidance_scale: float):
         """Classifier-free-guided denoiser over text contexts: one 2B-batched
         network call per step (prompted + null rows), combined as
         eps = eps_null + w·(eps_text − eps_null). Same recipe and
-        learned-variance convention as ConditionalDDPM._cfg_model_fn."""
+        learned-variance convention as ConditionalDDPM._cfg_model_fn.
+        ``null`` is usually the all-PAD null context; a NEGATIVE prompt's
+        tokens work identically (guidance then pushes away from it — the
+        standard negative-prompt recipe, a pure inference-time choice of
+        the CFG anchor)."""
         w = float(guidance_scale)
-        null = jnp.zeros_like(tokens)
 
         def model_fn(p, x, t):
             t = jnp.asarray(t)
@@ -150,28 +153,34 @@ class TextConditionalDDPM(DDPM):
         mesh=None,
         shard_axis: str = "batch",
         guidance_scale: Optional[float] = None,
+        negative_text: Union[None, str, Sequence[str]] = None,
         **kwargs,
     ):
         """Prompted sampling; ``text=None`` samples unconditionally (null
         context). ``guidance_scale`` enables classifier-free guidance
         (requires a prompt; w=1 ≈ plain prompted, w>1 sharpens prompt
-        adherence). ``mesh``/``shard_axis`` shard like ``DDPM.sample``."""
+        adherence). ``negative_text`` replaces the null context as the CFG
+        anchor (guidance pushes away from it — requires ``guidance_scale``).
+        ``mesh``/``shard_axis`` shard like ``DDPM.sample``."""
         if guidance_scale is not None and text is None:
             raise ValueError("guidance_scale requires a text prompt")
+        if negative_text is not None and guidance_scale is None:
+            raise ValueError("negative_text requires guidance_scale")
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
         tokens = self._tokens_array(batch_size, text)
+        neg_tokens = self._tokens_array(batch_size, negative_text)
         sampler = self.sampler
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import mesh_cache_key, sample_shardings
 
         def build():
-            def fn(params, tokens, key):
+            def fn(params, tokens, neg_tokens, key):
                 if guidance_scale is None:
                     model_fn = lambda p, x, t: self.model_fn(p, x, t, context=tokens)
                 else:
-                    model_fn = self._cfg_model_fn(tokens, guidance_scale)
+                    model_fn = self._cfg_model_fn(tokens, neg_tokens, guidance_scale)
                 return sampler.p_sample_loop(
                     model_fn, params, shape, key, return_frames=return_frames
                 )
@@ -184,7 +193,9 @@ class TextConditionalDDPM(DDPM):
             out_shardings = (out, frames_out) if return_frames else out
             tok_sharding = NamedSharding(mesh, P("data") if shard_axis == "batch" else P())
             return jax.jit(
-                fn, in_shardings=(rep, tok_sharding, rep), out_shardings=out_shardings
+                fn,
+                in_shardings=(rep, tok_sharding, tok_sharding, rep),
+                out_shardings=out_shardings,
             )
 
         params = self.ema_params if use_ema else self.params
@@ -196,7 +207,7 @@ class TextConditionalDDPM(DDPM):
             mesh_cache_key(mesh),
             shard_axis,
             guidance_scale,
-        )(params, tokens, key)
+        )(params, tokens, neg_tokens, key)
 
     def interpolate(self, x1, x2, t=None, lambd=0.5, key=None, text=None, **kwargs):
         key = key if key is not None else jax.random.PRNGKey(0)

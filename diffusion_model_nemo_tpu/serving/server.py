@@ -38,6 +38,15 @@ Endpoints (stdlib http.server; zero extra dependencies):
                            PNG form). F must equal the server's compiled
                            mel_frames (fixed shapes, one compile). Vocoder
                            archives serve ONLY this route.
+  POST /edit             → (DDPM-family generation archives) JSON
+                           {"images_npy": b64 of an np.save'd [N, H, W, C]
+                           array (uint8 or [0,1] float) at the model's
+                           image size, "strength": s in [0, 1],
+                           "seed": S?, "format": "png"|"npy"} → SDEdit
+                           image-to-image outputs (DDPM.edit — the input
+                           noised to strength·T then re-denoised on the
+                           ancestral chain). Each distinct strength is its
+                           own cached jit; requests coalesce per strength.
 """
 
 from __future__ import annotations
@@ -63,8 +72,9 @@ class _Request:
     seed: Optional[int]
     label: Optional[int]
     guidance_scale: Optional[float] = None
-    images: Optional[np.ndarray] = None  # SR mode: LR inputs [n, h, w, C] in [0,1]
+    images: Optional[np.ndarray] = None  # SR LR inputs / edit sources [n,h,w,C] in [0,1]
     mel: Optional[np.ndarray] = None  # vocoder mode: log-mel [n, F, n_mels]
+    strength: Optional[float] = None  # edit requests: SDEdit strength in [0, 1]
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -284,6 +294,68 @@ class BatchingSampler:
             raise RuntimeError(req.error)
         return req.result
 
+    def submit_edit(
+        self,
+        images: np.ndarray,
+        strength: float = 0.5,
+        seed: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> np.ndarray:
+        """SDEdit the inputs [n, H, W, C] (float in [0,1] or uint8) at the
+        model's image size.
+
+        Same contract as ``submit``/``submit_sr``: oversized requests chunk
+        at the compiled shape, seeded requests run alone so the output is a
+        pure function of (archive, seed, images, strength), unseeded traffic
+        coalesces per strength (each distinct strength is its own cached
+        jit graph — the partial-chain length is baked into the scan)."""
+        if self.sr_mode or self.vocode_mode:
+            raise ValueError("/edit requires a generation archive (DDPM family)")
+        if not hasattr(self.model, "edit"):
+            raise ValueError(
+                f"{type(self.model).__name__} has no edit surface (SDEdit "
+                "needs a DDPM-family ancestral sampler)"
+            )
+        if not 0.0 <= float(strength) <= 1.0:
+            raise ValueError(f"strength must be in [0, 1], got {strength}")
+        images = np.asarray(images)
+        if images.ndim != 4:
+            raise ValueError(f"images must be [n, H, W, C], got {images.shape}")
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        images = images.astype(np.float32)
+        expect = (self.image_size, self.image_size, int(self.model.channels))
+        if tuple(images.shape[1:]) != expect:
+            raise ValueError(
+                f"edit inputs must be [n, {expect[0]}, {expect[1]}, {expect[2]}] "
+                f"for this archive; got {images.shape}"
+            )
+        n = images.shape[0]
+        if n < 1:
+            raise ValueError("need at least one input image")
+        if n > self.max_batch:
+            parts = []
+            for i, off in enumerate(range(0, n, self.max_batch)):
+                chunk_seed = None if seed is None else seed + i
+                parts.append(
+                    self.submit_edit(
+                        images[off : off + self.max_batch], strength, chunk_seed, timeout
+                    )
+                )
+            return np.concatenate(parts, axis=0)
+        req = _Request(
+            num_images=n, seed=seed, label=None, images=images,
+            strength=float(strength),
+        )
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify_all()
+        if not req.done.wait(timeout=timeout):
+            raise TimeoutError(f"edit request not served within {timeout}s")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
     def submit_vocode(
         self,
         mel: np.ndarray,
@@ -393,6 +465,28 @@ class BatchingSampler:
             out = self._to_u8(out)
         return out
 
+    def _dispatch_edit(self, images: np.ndarray, strength: float, key):
+        """Enqueue one fixed-shape SDEdit batch (async, like
+        ``_dispatch_sample``): pad the stacked inputs to ``max_batch`` rows
+        (padding rows are computed and discarded — fixed shapes keep the
+        one-compile-per-strength invariant)."""
+        import jax.numpy as jnp
+
+        n = images.shape[0]
+        if n < self.max_batch:
+            pad = np.zeros((self.max_batch - n,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        kwargs = {}
+        if self.mesh is not None:
+            kwargs["mesh"] = self.mesh
+        out = self.model.edit(
+            jnp.asarray(images), strength=strength, key=key,
+            use_ema=self.use_ema, **kwargs
+        )
+        if self._to_u8 is not None:
+            out = self._to_u8(out)
+        return out
+
     def _dispatch_vocode(self, mels: np.ndarray, key):
         """Enqueue one fixed-shape vocode batch (async): pad the stacked mel
         inputs to ``max_batch`` rows; padding rows are computed-and-discarded
@@ -425,6 +519,8 @@ class BatchingSampler:
                 r.seed is None
                 and r.label == head.label
                 and r.guidance_scale == head.guidance_scale
+                and r.strength == head.strength
+                and (r.images is None) == (head.images is None)
                 and total + r.num_images <= self.max_batch
             ):
                 group.append(self._queue.pop(i))
@@ -509,6 +605,9 @@ class BatchingSampler:
                     elif self.vocode_mode:
                         stacked = np.concatenate([r.mel for r in group], axis=0)
                         out_dev = self._dispatch_vocode(stacked, key)
+                    elif group[0].images is not None:  # SDEdit requests
+                        stacked = np.concatenate([r.images for r in group], axis=0)
+                        out_dev = self._dispatch_edit(stacked, group[0].strength, key)
                     else:
                         out_dev = self._dispatch_sample(
                             self.max_batch, key, group[0].label, group[0].guidance_scale
@@ -591,7 +690,7 @@ class SamplingServer:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path not in ("/sample", "/super_resolve", "/vocode"):
+                if self.path not in ("/sample", "/super_resolve", "/vocode", "/edit"):
                     self._json(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -608,6 +707,16 @@ class SamplingServer:
                         arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
                         images = server.batcher.submit_vocode(arr, seed=seed, timeout=timeout)
                         fmt = "npy"  # waveforms have no PNG form
+                    elif self.path == "/edit":
+                        blob = payload.get("images_npy")
+                        if not blob:
+                            self._json(400, {"error": "images_npy (base64 of an np.save'd [N,H,W,C] array) is required"})
+                            return
+                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                        images = server.batcher.submit_edit(
+                            arr, strength=float(payload.get("strength", 0.5)),
+                            seed=seed, timeout=timeout,
+                        )
                     elif self.path == "/super_resolve":
                         blob = payload.get("images_npy")
                         if not blob:

@@ -33,6 +33,7 @@ from diffusion_model_nemo_tpu.utils.image import save_image_grid, to_uint8
 class SampleTextConfig:
     model_path: str = "TextDDPM-DiT.dmn"
     text: str = ""                 # "" = unconditional (null context)
+    negative_text: str = ""        # CFG anchor to push away from (needs guidance)
     guidance_scale: float = -1.0   # <= 0 disables CFG
     batch_size: int = 16
     image_size: int = -1
@@ -75,6 +76,7 @@ def main(cfg):
             key=key,
             text=text,
             guidance_scale=w,
+            negative_text=cfg.negative_text or None,
         )
     )
 

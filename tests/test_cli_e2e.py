@@ -359,6 +359,19 @@ def test_inpaint_cli_from_ddpm_archive(tmp_path):
     for name in ("input.png", "masked.png", "inpainted.png"):
         assert (out / name).exists()
 
+    # SDEdit CLI from the same archive: self-edit at strength 0.5
+    edited = tmp_path / "edited"
+    _run(
+        "ddpm/edit_ddpm.py",
+        f"model_path={archives[0]}",
+        "batch_size=2",
+        "strength=0.5",
+        f"output_dir={edited}",
+        "add_timestamp=false",
+    )
+    for name in ("input.png", "edited.png"):
+        assert (edited / name).exists()
+
 
 def test_latent_diffusion_cli_roundtrip(tmp_path):
     """Latent family: train the KL-AE first stage → train a latent DDPM on

@@ -147,6 +147,77 @@ def test_archive_roundtrip_records_model_class(tmp_path):
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_edit_serving_roundtrip(batcher):
+    """SDEdit over the serving stack: submit_edit round trip, seeded
+    determinism, uint8 inputs, strength-0 near-identity, validation."""
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0.1, 0.9, (3, IMG, IMG, 1)).astype(np.float32)
+    out = batcher.submit_edit(src, strength=0.6, seed=4, timeout=120)
+    assert out.shape == (3, IMG, IMG, 1)
+    again = batcher.submit_edit(src, strength=0.6, seed=4, timeout=120)
+    assert np.array_equal(out, again)
+    # uint8 inputs land on the same [0,1] floats
+    u8 = (src * 255.0 + 0.5).astype(np.uint8)
+    out_u8 = batcher.submit_edit(u8, strength=0.6, seed=4, timeout=120)
+    np.testing.assert_allclose(
+        out_u8.astype(np.float32), out.astype(np.float32), atol=2.0
+    )
+    # strength=0: only the t=0 forward noise separates output from input
+    ident = batcher.submit_edit(src, strength=0.0, seed=4, timeout=120)
+    assert np.abs(ident.astype(np.float32) / 255.0 - src).max() < 0.1
+    # oversized request chunks at the compiled shape (max_batch=8)
+    big = rng.uniform(0.1, 0.9, (11, IMG, IMG, 1)).astype(np.float32)
+    out_big = batcher.submit_edit(big, strength=0.6, seed=7, timeout=240)
+    assert out_big.shape == (11, IMG, IMG, 1)
+
+    with pytest.raises(ValueError, match="strength"):
+        batcher.submit_edit(src, strength=1.5, timeout=30)
+    with pytest.raises(ValueError, match=r"\[n, H, W, C\]"):
+        batcher.submit_edit(src[0], timeout=30)
+    with pytest.raises(ValueError, match="edit inputs"):
+        batcher.submit_edit(np.zeros((1, IMG * 2, IMG * 2, 1), np.float32), timeout=30)
+
+
+def test_edit_http_surface(batcher):
+    import base64
+    import io
+
+    server = SamplingServer(batcher, host="127.0.0.1", port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        src = np.random.default_rng(1).uniform(0, 1, (2, IMG, IMG, 1)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, src)
+        req = urllib.request.Request(
+            f"{base}/edit",
+            data=json.dumps(
+                {
+                    "images_npy": base64.b64encode(buf.getvalue()).decode("ascii"),
+                    "strength": 0.5,
+                    "seed": 2,
+                    "format": "npy",
+                }
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=240) as r:
+            arr = np.load(io.BytesIO(r.read()))
+        assert arr.shape == (2, IMG, IMG, 1)
+        # missing images -> 400
+        req = urllib.request.Request(
+            f"{base}/edit", data=json.dumps({"strength": 0.5}).encode(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server._httpd.shutdown()
+        server._httpd.server_close()
+
+
 def test_http_surface(batcher):
     server = SamplingServer(batcher, host="127.0.0.1", port=0)  # ephemeral port
     server.start_background()

@@ -259,6 +259,39 @@ def test_train_sample_guidance_archive_roundtrip(tmp_path):
     assert np.array_equal(r, a)
 
 
+def test_negative_prompt_guidance(tmp_path):
+    """Negative prompts swap the CFG anchor: ``negative_text == text``
+    collapses guidance exactly (out = eps_neg + w·(eps_c − eps_neg) = eps_c
+    for any w), a different negative moves the samples, and a negative
+    without guidance is rejected."""
+    cfg = tiny_text_cfg(tmp_path)
+    model = TextConditionalDDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    model.params = _activate_cross_attention(model.params)
+    model.ema_params = jax.tree.map(jnp.copy, model.params)
+
+    key = jax.random.PRNGKey(11)
+    plain = np.asarray(model.sample(2, 8, key=key, text="class 1"))
+    # anchor == prompt ⇒ guidance cancels for ANY w
+    self_anchor = np.asarray(
+        model.sample(2, 8, key=key, text="class 1", guidance_scale=3.0,
+                     negative_text="class 1")
+    )
+    np.testing.assert_allclose(self_anchor, plain, atol=1e-4)
+    # a real negative moves the output vs the null anchor
+    null_anchor = np.asarray(
+        model.sample(2, 8, key=key, text="class 1", guidance_scale=3.0)
+    )
+    neg = np.asarray(
+        model.sample(2, 8, key=key, text="class 1", guidance_scale=3.0,
+                     negative_text="class 2")
+    )
+    assert not np.array_equal(neg, null_anchor)
+
+    with pytest.raises(ValueError, match="guidance_scale"):
+        model.sample(2, 8, key=key, text="class 1", negative_text="class 2")
+
+
 @pytest.mark.slow
 def test_text_cli_round_trip(tmp_path):
     import subprocess, sys, os
