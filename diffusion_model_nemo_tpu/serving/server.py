@@ -20,6 +20,11 @@ Endpoints (stdlib http.server; zero extra dependencies):
   GET  /stats            → request/batch/latency counters
   POST /sample           → JSON {"num_images": N, "seed": S?, "label": L?,
                                  "guidance_scale": W? (conditional models),
+                                 "text": prompt? / "negative_text": anchor?
+                                 (text-conditional archives — prompts are
+                                 runtime data, so requests with DIFFERENT
+                                 prompts coalesce into one device batch;
+                                 only W is baked into the graph),
                            "format": "png"|"npy"} →
                            {"images": [b64-PNG, ...]} or raw .npy bytes
   POST /super_resolve    → (SR3 archives) JSON {"images_npy": b64 of an
@@ -75,6 +80,8 @@ class _Request:
     images: Optional[np.ndarray] = None  # SR LR inputs / edit sources [n,h,w,C] in [0,1]
     mel: Optional[np.ndarray] = None  # vocoder mode: log-mel [n, F, n_mels]
     strength: Optional[float] = None  # edit requests: SDEdit strength in [0, 1]
+    text: Optional[str] = None  # text archives: the prompt ("" / None = null context)
+    neg_text: Optional[str] = None  # text archives: negative prompt (CFG anchor)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -118,6 +125,11 @@ class BatchingSampler:
         # WaveGrad vocoder archives serve mel→waveform (requests carry mel);
         # like SR, generation-without-input has nothing to condition on.
         self.vocode_mode = hasattr(model, "vocode")
+        # Text-conditional archives take per-request prompts. Prompts are
+        # runtime DATA (token arrays through one cached jit), not graph
+        # constants — so requests with DIFFERENT prompts coalesce into one
+        # device batch; only the guidance scale is baked into the graph.
+        self.text_mode = hasattr(model, "_tokens_array")
         self.mel_frames = (
             int(mel_frames or model.segment_frames) if self.vocode_mode else None
         )
@@ -206,6 +218,8 @@ class BatchingSampler:
         label: Optional[int] = None,
         timeout: Optional[float] = None,
         guidance_scale: Optional[float] = None,
+        text: Optional[str] = None,
+        negative_text: Optional[str] = None,
     ) -> np.ndarray:
         if self.sr_mode:
             raise ValueError(
@@ -217,8 +231,17 @@ class BatchingSampler:
                 "this archive is a WaveGrad vocoder: POST /vocode with "
                 "log-mel inputs (submit_vocode), not /sample"
             )
+        if (text is not None or negative_text is not None) and not self.text_mode:
+            raise ValueError(
+                f"{type(self.model).__name__} is not text-conditional; "
+                "text/negative_text need a TextConditionalDDPM archive"
+            )
         if guidance_scale is not None and not hasattr(self.model, "_cfg_model_fn"):
             raise ValueError("guidance_scale requires a class-conditional model")
+        if self.text_mode and guidance_scale is not None and not text:
+            raise ValueError("guidance_scale requires a text prompt on this archive")
+        if negative_text is not None and guidance_scale is None:
+            raise ValueError("negative_text requires guidance_scale")
         if num_images < 1:
             raise ValueError("num_images must be >= 1")
         if num_images > self.max_batch:
@@ -230,13 +253,17 @@ class BatchingSampler:
                 n = min(remaining, self.max_batch)
                 chunk_seed = None if seed is None else seed + chunk_idx
                 parts.append(
-                    self.submit(n, chunk_seed, label, timeout, guidance_scale)
+                    self.submit(
+                        n, chunk_seed, label, timeout, guidance_scale,
+                        text, negative_text,
+                    )
                 )
                 remaining -= n
                 chunk_idx += 1
             return np.concatenate(parts, axis=0)
         req = _Request(
-            num_images=num_images, seed=seed, label=label, guidance_scale=guidance_scale
+            num_images=num_images, seed=seed, label=label,
+            guidance_scale=guidance_scale, text=text, neg_text=negative_text,
         )
         with self._cv:
             self._queue.append(req)
@@ -412,6 +439,8 @@ class BatchingSampler:
         key,
         label: Optional[int],
         guidance_scale: Optional[float] = None,
+        texts: Optional[List[str]] = None,
+        neg_texts: Optional[List[str]] = None,
     ):
         """Enqueue one device batch; returns the (async) device array.
 
@@ -424,6 +453,12 @@ class BatchingSampler:
         kwargs = {}
         if label is not None:
             kwargs["label"] = int(label)
+        if texts is not None:
+            # Per-image prompt rows: "" encodes to the all-PAD null context,
+            # so padding rows and unprompted requests ride the same batch.
+            kwargs["text"] = texts
+        if neg_texts is not None:
+            kwargs["negative_text"] = neg_texts
         if guidance_scale is not None:
             # Each distinct w is its own cached jit graph (the scale is baked
             # into the scan); the first request at a new w pays a compile.
@@ -609,8 +644,22 @@ class BatchingSampler:
                         stacked = np.concatenate([r.images for r in group], axis=0)
                         out_dev = self._dispatch_edit(stacked, group[0].strength, key)
                     else:
+                        texts = neg_texts = None
+                        if self.text_mode:
+                            # Prompts are per-image data rows; pad to the
+                            # compiled shape with "" (the null context).
+                            texts, neg_texts = [], []
+                            for r in group:
+                                texts += [r.text or ""] * r.num_images
+                                neg_texts += [r.neg_text or ""] * r.num_images
+                            pad = self.max_batch - len(texts)
+                            texts += [""] * pad
+                            neg_texts += [""] * pad
+                            if group[0].guidance_scale is None:
+                                neg_texts = None
                         out_dev = self._dispatch_sample(
-                            self.max_batch, key, group[0].label, group[0].guidance_scale
+                            self.max_batch, key, group[0].label,
+                            group[0].guidance_scale, texts, neg_texts,
                         )
                     dispatched = (group, out_dev, t0)
                 except Exception as e:
@@ -731,6 +780,8 @@ class SamplingServer:
                         images = server.batcher.submit(
                             n, seed=seed, label=label, timeout=timeout,
                             guidance_scale=guidance,
+                            text=payload.get("text"),
+                            negative_text=payload.get("negative_text"),
                         )
                     if fmt == "npy":
                         buf = io.BytesIO()

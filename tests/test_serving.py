@@ -147,6 +147,119 @@ def test_archive_roundtrip_records_model_class(tmp_path):
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def tiny_text_model():
+    import jax
+
+    from diffusion_model_nemo_tpu.models import TextConditionalDDPM
+
+    cfg = from_dict(
+        {
+            "image_size": IMG,
+            "timesteps": T,
+            "channels": 1,
+            "save_every": 0,
+            "max_text_len": 8,
+            "diffusion_model": {
+                "_target_": "diffusion_model_nemo.modules.DiT",
+                "input_dim": IMG,
+                "dim": 32,
+                "depth": 2,
+                "heads": 4,
+                "patch_size": 2,
+                "channels": 1,
+                "context_dim": 16,
+                "context_vocab": 257,
+            },
+            "sampler": {
+                "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+                "timesteps": T,
+                "schedule_name": "linear",
+            },
+            "loss": {"_target_": "diffusion_model_nemo.loss.DiffusionLoss", "loss_type": "l2"},
+            "optim": {"name": "adamw", "lr": 1e-3},
+        }
+    )
+    model = TextConditionalDDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    # Randomize the zero-init ca_out kernels and output head so prompts
+    # reach the pixels (the DiT is exactly zero at init by design).
+    k = jax.random.PRNGKey(3)
+    for name, block in model.params.items():
+        if name.startswith("block_") and "ca_out" in block:
+            k, sub = jax.random.split(k)
+            kern = block["ca_out"]["kernel"]
+            block["ca_out"]["kernel"] = 0.1 * jax.random.normal(sub, kern.shape, kern.dtype)
+    head = model.params["final_linear"]["kernel"]
+    model.params["final_linear"]["kernel"] = 0.1 * jax.random.normal(k, head.shape, head.dtype)
+    model.ema_params = jax.tree.map(lambda x: x + 0.0, model.params)
+    return model
+
+
+def test_text_prompt_serving():
+    """Text archives serve prompted /sample: prompts are per-image DATA, so
+    requests with different prompts coalesce into ONE device batch; seeded
+    prompted requests are deterministic; guided + negative prompts work;
+    text on a non-text archive is rejected."""
+    b = BatchingSampler(
+        tiny_text_model(), image_size=IMG, max_batch=8, linger_ms=150.0, use_ema=False
+    ).start()
+    try:
+        out = b.submit(2, seed=5, text="a cat", timeout=120)
+        assert out.shape == (2, IMG, IMG, 1)
+        again = b.submit(2, seed=5, text="a cat", timeout=120)
+        assert np.array_equal(out, again)
+        other = b.submit(2, seed=5, text="a dog", timeout=120)
+        assert not np.array_equal(out, other)
+
+        # different prompts coalesce: 3 unseeded requests, one device batch
+        before = dict(b.stats)
+        results = {}
+
+        def ask(name, prompt):
+            results[name] = b.submit(2, text=prompt, timeout=120)
+
+        threads = [
+            threading.Thread(target=ask, args=(i, p))
+            for i, p in enumerate(["a cat", "a dog", None])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(results[i].shape == (2, IMG, IMG, 1) for i in range(3))
+        assert b.stats["batches"] - before["batches"] == 1
+        assert b.stats["requests"] - before["requests"] == 3
+
+        # classifier-free guidance + negative prompt through the daemon
+        g = b.submit(2, seed=5, text="a cat", guidance_scale=2.0, timeout=120)
+        g2 = b.submit(
+            2, seed=5, text="a cat", guidance_scale=2.0,
+            negative_text="a dog", timeout=120,
+        )
+        assert g.shape == g2.shape == (2, IMG, IMG, 1)
+        assert not np.array_equal(g, g2)
+        # anchor == prompt collapses guidance to the plain prompted batch
+        g3 = b.submit(
+            2, seed=5, text="a cat", guidance_scale=3.0,
+            negative_text="a cat", timeout=120,
+        )
+        np.testing.assert_allclose(
+            g3.astype(np.float32), out.astype(np.float32), atol=2.0
+        )
+
+        with pytest.raises(ValueError, match="text prompt"):
+            b.submit(1, guidance_scale=2.0, timeout=30)
+        with pytest.raises(ValueError, match="guidance_scale"):
+            b.submit(1, text="a cat", negative_text="a dog", timeout=30)
+    finally:
+        b.stop()
+
+
+def test_text_rejected_on_plain_archive(batcher):
+    with pytest.raises(ValueError, match="not text-conditional"):
+        batcher.submit(1, text="a cat", timeout=30)
+
+
 def test_edit_serving_roundtrip(batcher):
     """SDEdit over the serving stack: submit_edit round trip, seeded
     determinism, uint8 inputs, strength-0 near-identity, validation."""
