@@ -6,55 +6,149 @@ against a reference-style eager loop measured on the same chip: one jit
 dispatch per timestep plus a per-step host copy of the image (exactly what
 the reference's ``p_sample_loop`` does — gaussian_diffusion.py:170-189).
 
-Also reports MFU so "speed-of-light" is checkable, not asserted: FLOPs come
-from XLA's cost analysis of one compiled U-Net forward × NFE (the sampler's
-non-network math is negligible), divided by wall time × the chip's peak. A
-second leg benches a realistic dim-128 model (1.76M-param dim-32 under-uses
-the MXU by construction).
+Timeout-proof by construction (the round-3 driver record was rc=124 with no
+output): the north-star leg runs FIRST and its JSON line is printed/flushed
+immediately; every further leg re-prints the updated line when it lands; a
+wall-clock budget (``DMN_BENCH_BUDGET_S``, default 600s) is enforced both
+cooperatively (legs that cannot fit are reported ``{"skipped": "budget"}``)
+and preemptively (a watchdog thread prints the final JSON and exits 0 even
+if a device call hangs mid-leg). The driver should always get a parseable
+line with every leg present-or-explicitly-skipped.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
-   "mfu_pct": ..., "dim128": {...}}
+Also reports MFU and ``sol_pct`` so "speed-of-light" is checkable, not
+asserted: FLOPs/bytes come from XLA's cost analysis of one compiled U-Net
+forward × NFE (the sampler's non-network math is negligible); ``sol_pct`` is
+the achieved fraction of the roofline chain time
+``NFE * max(flops/peak_flops, bytes/hbm_bw)``.
+
+Quality leg (``quality``): fixed-seed 300-step training run on a structured
+synthetic task + random-extractor FID of its samples — numeric quality
+regression tracking round-over-round (NOT comparable to published FID).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
-T = 1000
+# Overridable for smoke-testing on CPU (driver runs with the defaults).
+T = int(os.environ.get("DMN_BENCH_T", "1000"))
 IMG = 32
+BATCH = int(os.environ.get("DMN_BENCH_BATCH", "128"))  # saturates ~B>=128 on v5e
 
-# Peak dense-matmul throughput by device kind (bf16 FLOP/s). The network
-# computes in bfloat16 (model cfg dtype), which is what the MXU path uses.
+# Peak dense-matmul throughput (bf16 FLOP/s) and HBM bandwidth (byte/s) by
+# device kind. The network computes in bfloat16 (model cfg dtype), which is
+# what the MXU path uses.
 _PEAK_TABLE = {
-    "v5 lite": 197e12,  # TPU v5e
-    "v5e": 197e12,
-    "v5p": 459e12,
-    "v4": 275e12,
-    "v6": 918e12,
-    "trillium": 918e12,
+    "v5 lite": (197e12, 819e9),  # TPU v5e
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+    "trillium": (918e12, 1640e9),
 }
+
+# ---------------------------------------------------------------------------
+# Incremental result state: re-printed (flushed) after every completed leg so
+# a hard kill at any point still leaves the latest parseable JSON line in the
+# driver tail.
+# ---------------------------------------------------------------------------
+_LOCK = threading.Lock()
+_STATE = {
+    "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
+    "value": None,
+    "unit": "samples/sec/chip",
+    "vs_baseline": None,
+    "batch": BATCH,
+    "timesteps": T,
+}
+_DEADLINE = [float("inf")]  # monotonic deadline, set in main()
+
+
+def _emit() -> None:
+    with _LOCK:
+        state = {k: v for k, v in _STATE.items() if not k.startswith("_")}
+    print(json.dumps(state), flush=True)
+
+
+def _set(key: str, value) -> None:
+    with _LOCK:
+        _STATE[key] = value
+
+
+def _remaining() -> float:
+    return _DEADLINE[0] - time.monotonic()
+
+
+def _run_leg(name: str, fn, est_s: float = 60.0, emit: bool = True):
+    """Run one leg with budget accounting; record result/error/skip under
+    ``name`` and re-print the JSON line. Returns the leg's raw result
+    (callers may also want its data) or None."""
+    if _remaining() < est_s:
+        _set(name, {"skipped": "budget"})
+        if emit:
+            _emit()
+        return None
+    _set("_in_progress", name)
+    t0 = time.perf_counter()
+    try:
+        res = fn()
+        if isinstance(res, dict):
+            res.setdefault("wall_s", round(time.perf_counter() - t0, 1))
+    except Exception as e:  # leg failures are reported, never fatal
+        res = {
+            "error": f"{type(e).__name__}: {e}"[:200],
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+    _set(name, res)
+    _set("_in_progress", None)
+    if emit:
+        _emit()
+    return res
+
+
+def _install_watchdog(budget_s: float) -> None:
+    """Print the final JSON and exit 0 at the deadline even if the main
+    thread is hung inside a device call (the r03 failure mode: a degraded
+    compile tunnel stalls any leg indefinitely)."""
+    _DEADLINE[0] = time.monotonic() + budget_s
+
+    def watch():
+        while True:
+            dt = _DEADLINE[0] - time.monotonic()
+            if dt <= 0:
+                break
+            time.sleep(min(dt, 5.0))
+        with _LOCK:
+            cur = _STATE.pop("_in_progress", None)
+            if cur:
+                _STATE[cur] = {"skipped": "budget_expired_mid_leg"}
+            _STATE["budget_expired"] = True
+        _emit()
+        os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 
 def _peak_flops(device) -> tuple:
     kind = getattr(device, "device_kind", "unknown").lower()
-    for k, v in _PEAK_TABLE.items():
+    for k, (fl, bw) in _PEAK_TABLE.items():
         if k in kind:
-            return v, kind
-    return 197e12, f"{kind} (assumed v5e-class peak)"
+            return fl, bw, kind
+    return 197e12, 819e9, f"{kind} (assumed v5e-class peak)"
 
 
-def _forward_flops(model_fn, params, shape) -> float:
-    """XLA-estimated FLOPs of one compiled network forward at ``shape``.
+def _forward_costs(model_fn, params, shape) -> tuple:
+    """XLA-estimated (flops, bytes accessed) of one compiled network forward.
 
     Counted with the Pallas attention dispatch forced OFF: custom calls
-    report zero flops to XLA's cost analysis, so counting the pure-XLA
-    composition keeps the MFU denominator honest (and comparable across
-    kernel variants — the math is identical).
+    report zero flops/bytes to XLA's cost analysis, so counting the pure-XLA
+    composition keeps the MFU/roofline denominators honest (and comparable
+    across kernel variants — the math is identical).
     """
     import jax
     import jax.numpy as jnp
@@ -73,11 +167,12 @@ def _forward_flops(model_fn, params, shape) -> float:
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0]
-    return float(ca.get("flops", 0.0))
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def _bench_model(dim: int, batch: int, runs: int, peak: float, tpu_geometry: str = "off") -> dict:
-    """Fused-scan sampling throughput + MFU for one model size."""
+def _bench_model(dim: int, batch: int, runs: int, peak: float, hbm_bw: float,
+                 tpu_geometry: str = "off") -> dict:
+    """Fused-scan sampling throughput + MFU + roofline SoL for one model size."""
     import jax
 
     from __graft_entry__ import _flagship
@@ -105,13 +200,20 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float, tpu_geometry: str
     out.block_until_ready()
     sec = (time.perf_counter() - t0) / runs
 
-    flops_total = _forward_flops(model_fn, params, shape) * T
+    fwd_flops, fwd_bytes = _forward_costs(model_fn, params, shape)
+    # Roofline speed-of-light for the whole chain: each of the T network
+    # calls is bounded below by both the MXU time and the HBM traffic time
+    # of its (pure-XLA, post-fusion) computation.
+    t_sol = T * max(fwd_flops / peak, fwd_bytes / hbm_bw)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
     return {
         "sps": batch / sec,
         "sec_per_chain": sec,
-        "mfu_pct": 100.0 * flops_total / (sec * peak),
-        "flops_per_forward": flops_total / T,
+        "mfu_pct": 100.0 * fwd_flops * T / (sec * peak),
+        "sol_pct": 100.0 * t_sol / sec,
+        "bound": "memory" if fwd_bytes / hbm_bw > fwd_flops / peak else "compute",
+        "flops_per_forward": fwd_flops,
+        "bytes_per_forward": fwd_bytes,
         "params": n_params,
         "model_fn": model_fn,
         "model": model,
@@ -122,7 +224,7 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float, tpu_geometry: str
 
 
 def _bench_training(
-    model, batch_size: int, steps: int = 50,
+    model, batch_size: int, steps: int = 50, windows: int = 3,
     fwd_flops: float | None = None, peak: float | None = None,
 ) -> dict:
     """Sustained full-train-step throughput (loss+grads+AdamW+EMA, donated
@@ -136,8 +238,6 @@ def _bench_training(
     import jax.numpy as jnp
     import optax
     from functools import partial
-
-    import numpy as np
 
     from diffusion_model_nemo_tpu.training.ema import ema_update
     from diffusion_model_nemo_tpu.training.optim import build_optimizer
@@ -178,11 +278,11 @@ def _bench_training(
             params, opt, ema, batch, base_key, step_dev
         )
     metrics["train_loss"].block_until_ready()
-    # best of 3 windows: the remote dispatch tunnel has multi-second
+    # best of N windows: the remote dispatch tunnel has multi-second
     # degradation episodes that otherwise land 2x swings in this leg
     # (observed 5.7k vs 11.5k sps for the identical program minutes apart)
     sec = float("inf")
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             params, opt, ema, step_dev, metrics = update(
@@ -196,9 +296,148 @@ def _bench_training(
     return out
 
 
-def main() -> None:
+def _sampler_leg(diffusion, model_fn, params, shape, runs: int, key_seed: int,
+                 extra: dict) -> dict:
+    """Generic fused-sampler throughput leg."""
+    import jax
+
+    fused = jax.jit(lambda p, k: diffusion.p_sample_loop(model_fn, p, shape, k))
+    key = jax.random.PRNGKey(key_seed)
+    fused(params, key).block_until_ready()
+    t0 = time.perf_counter()
+    out = None
+    for i in range(runs):
+        out = fused(params, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    sec = (time.perf_counter() - t0) / runs
+    return {"sps": round(shape[0] / sec, 1), **extra}
+
+
+def _structured_images(n: int, size: int, seed: int) -> np.ndarray:
+    """Deterministic structured synthetic images (soft Gaussian blobs on a
+    colored background): a learnable target, unlike uniform noise, so the
+    quality leg's FID actually discriminates trained-vs-untrained models."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1)
+    imgs = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        bg = rng.uniform(0.0, 0.4, size=(3,)).astype(np.float32)
+        img = np.broadcast_to(bg, (size, size, 3)).copy()
+        for _ in range(2):
+            cy, cx = rng.uniform(0.2, 0.8, size=2)
+            sig = rng.uniform(0.08, 0.25)
+            col = rng.uniform(0.4, 1.0, size=(3,)).astype(np.float32)
+            g = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)))
+            img += g[:, :, None] * col
+        imgs[i] = np.clip(img, 0.0, 1.0)
+    return (imgs * 255).astype(np.uint8)
+
+
+def _quality_leg() -> dict:
+    """Fixed-seed tiny train -> sample -> random-extractor FID + loss@300.
+
+    Everything is seeded (data, init, training key stream, sampling key,
+    extractor weights), so these numbers are comparable round-over-round:
+    a quality regression anywhere in process math, U-Net parts, training
+    step, or sampler moves them. The FID uses the from-scratch Flax
+    InceptionV3 with SEEDED RANDOM weights (metrics/inception.py — a valid
+    relative metric, NOT comparable to published FID numbers); if that
+    extractor fails it falls back to weight-free pixel-moment features and
+    says so in the output.
+    """
     import jax
     import jax.numpy as jnp
+    import optax
+    from functools import partial
+
+    from __graft_entry__ import _flagship
+    from diffusion_model_nemo_tpu.metrics.fid import FIDScorer, default_feature_fn
+    from diffusion_model_nemo_tpu.training.ema import ema_update
+    from diffusion_model_nemo_tpu.training.optim import build_optimizer
+
+    SIZE, DIM, TT, QB = 16, 16, 100, 64
+    STEPS = int(os.environ.get("DMN_BENCH_QSTEPS", "300"))  # smoke-test knob
+    data = _structured_images(8 * QB, SIZE, seed=0).reshape(8, QB, SIZE, SIZE, 3)
+    real = _structured_images(128, SIZE, seed=1)  # held-out "real" set
+
+    model = _flagship(image_size=SIZE, dim=DIM, dim_mults=(1, 2), timesteps=TT)
+    model.init_params(jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(model.cfg.get("optim"), max_steps=STEPS, grad_clip=1.0)
+    params = jax.tree.map(jnp.copy, model.params)
+    ema = jax.tree.map(jnp.copy, model.ema_params)
+    opt = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def update(params, opt_state, ema_params, batch, key, step):
+        (loss, _), g = jax.value_and_grad(model.training_step, has_aux=True)(
+            params, batch, key, step
+        )
+        u, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, u)
+        ema_params = ema_update(ema_params, params, 0.999, step)
+        return params, opt_state, ema_params, loss
+
+    key = jax.random.PRNGKey(42)
+    last_losses = []
+    for i in range(STEPS):
+        b = {"image": data[i % 8], "label": np.zeros((QB,), np.int32)}
+        params, opt, ema, loss = update(
+            params, opt, ema, b, jax.random.fold_in(key, i), jnp.asarray(i)
+        )
+        if i >= STEPS - 5:
+            last_losses.append(float(loss))
+    loss300 = float(np.mean(last_losses))
+
+    model.params = params
+    model.ema_params = ema
+    samples = np.asarray(
+        model.sample(batch_size=128, image_size=SIZE, key=jax.random.PRNGKey(7))
+    )  # [0, 1] floats
+
+    extractor = "inception_random"
+    try:
+        from diffusion_model_nemo_tpu.metrics.inception import inception_feature_fn
+
+        feat = inception_feature_fn(None, batch_size=64)
+    except Exception:
+        feat, extractor = default_feature_fn, "pixel_moments"
+    scorer = FIDScorer(feature_fn=feat)
+    try:
+        scorer.update_real(real.astype(np.float32) / 255.0)
+        scorer.update_generated(np.clip(samples, 0.0, 1.0))
+        fid = round(scorer.compute(), 3)
+    except Exception as e:
+        if extractor == "pixel_moments":
+            raise
+        # inception compile failed (e.g. tunnel hiccup): pixel fallback
+        extractor = f"pixel_moments (inception failed: {type(e).__name__})"
+        scorer = FIDScorer(feature_fn=default_feature_fn)
+        scorer.update_real(real.astype(np.float32) / 255.0)
+        scorer.update_generated(np.clip(samples, 0.0, 1.0))
+        fid = round(scorer.compute(), 3)
+    return {
+        "fid_rand": fid,
+        "loss300": round(loss300, 5),
+        "extractor": extractor,
+        "task": f"blobs {SIZE}x{SIZE}, dim-{DIM} U-Net, T={TT}, {STEPS} steps @ B={QB}",
+        "note": "seeded relative metrics for regression tracking; NOT published-FID-comparable",
+    }
+
+
+def main() -> None:
+    budget_s = float(os.environ.get("DMN_BENCH_BUDGET_S", "600"))
+    _install_watchdog(budget_s)
+    _set("budget_s", budget_s)
+    _emit()  # a parseable (null-value) line exists from t=0
+
+    t_init = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("DMN_BENCH_CPU", "0") == "1":
+        # smoke-testing only: sitecustomize pre-imports jax with the real TPU
+        # backend, and env vars alone cannot switch it (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent XLA compile cache: steady-state numbers are unaffected but a
     # full run pays ~30 min of (remote-tunnel) compiles without it. Opt out
@@ -212,23 +451,46 @@ def main() -> None:
             os.environ.get("DMN_COMPILE_CACHE_DIR") or "/tmp/dmn_xla_cache"
         )
 
-    BATCH = 128  # throughput saturates ~B>=128 on v5e for this net
-    peak, device_kind = _peak_flops(jax.devices()[0])
+    peak, hbm_bw, device_kind = _peak_flops(jax.devices()[0])
+    jnp.ones((8, 8)).sum().block_until_ready()  # backend init probe
+    _set("device_kind", device_kind)
+    _set("peak_bf16_flops", peak)
+    _set("hbm_bw_bytes", hbm_bw)
+    _set("device_init_s", round(time.perf_counter() - t_init, 1))
+    _emit()
 
-    # ---- flagship dim-32 (the north-star config) -----------------------------
-    r32 = _bench_model(dim=32, batch=BATCH, runs=3, peak=peak)
-    fused_sps = r32["sps"]
+    # ---- north star FIRST: flagship dim-32 fused scan ------------------------
+    r32 = _run_leg(
+        "northstar",
+        lambda: _bench_model(dim=32, batch=BATCH, runs=3, peak=peak, hbm_bw=hbm_bw),
+        est_s=30,
+        emit=False,
+    )
+    if r32 and "error" not in r32:
+        with _LOCK:
+            _STATE.update(
+                value=round(r32["sps"], 4),
+                mfu_pct=round(r32["mfu_pct"], 2),
+                sol_pct=round(r32["sol_pct"], 2),
+                roofline_bound=r32["bound"],
+                flops_per_forward=r32["flops_per_forward"],
+                bytes_per_forward=r32["bytes_per_forward"],
+            )
+            _STATE.pop("northstar", None)
+    _emit()
+    if not r32 or "error" in r32:
+        return  # nothing else is meaningful without the flagship model
+
+    model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
 
     # ---- reference-style eager loop (baseline emulation) ---------------------
     # One jitted step per t + per-step host transfer, like the reference's
     # Python loop with .cpu() each iteration. Timed over a slice of the chain
-    # and scaled (the per-step cost is t-independent). If this leg fails
-    # (e.g. compile-service hiccup), fall back to the last measured value so
-    # the primary metric still reports — and say so in the JSON.
-    baseline_fallback = False
-    try:
-        sampler, model_fn, params = r32["sampler"], r32["model_fn"], r32["params_tree"]
-        shape = r32["shape"]
+    # and scaled (the per-step cost is t-independent). If this leg fails or
+    # is budget-skipped, vs_baseline stays null with the reason recorded —
+    # never a fabricated constant.
+    def eager_leg():
+        sampler = r32["sampler"]
         key = jax.random.PRNGKey(1)
         step_jit = jax.jit(lambda p, x, t, k: sampler.p_sample(model_fn, p, x, t, k))
         x = jax.random.normal(key, shape)
@@ -241,125 +503,134 @@ def main() -> None:
             x = step_jit(params, x, t_b, jax.random.fold_in(key, i))
             _ = np.asarray(x)  # host copy per step, like the reference
         eager_time = (time.perf_counter() - t0) / SLICE * T
-        eager_sps = BATCH / eager_time
-    except Exception:
-        eager_sps = 1.386  # measured on this chip at B=128 (2026-08-16)
-        baseline_fallback = True
+        return {"sps": round(BATCH / eager_time, 4)}
 
-    # ---- fast-sampler legs: DDIM-50 + score-SDE PC (driver-visible so
-    # regressions in the strided/SDE paths show up in BENCH_r*.json) ----------
-    ddim50 = None
-    distill8 = None
-    dpm20 = None
-    edm18 = None
-    dit50 = None
-    pc_sde = None
-    dim128 = None
-    train = None
-    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
-        try:
-            from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
-
-            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
-            dd = GeneralizedGaussianDiffusion(
-                timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
+    eb = _run_leg("baseline_eager", eager_leg, est_s=30, emit=False)
+    if eb and "sps" in eb:
+        with _LOCK:
+            _STATE["vs_baseline"] = round(r32["sps"] / eb["sps"], 3)
+            _STATE["baseline"] = (
+                "reference-style per-step dispatch + host sync on same chip"
             )
-            fused = jax.jit(lambda p, k: dd.p_sample_loop(model_fn, p, shape, k))
-            key = jax.random.PRNGKey(2)
-            fused(params, key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 10
-            out = None
-            for i in range(RUNS):
-                out = fused(params, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            ddim50 = {"sps": round(BATCH / sec, 1), "steps": 50, "eta": 0.0}
-        except Exception as e:
-            ddim50 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            # the progressive-distillation student's serving configuration:
-            # 8-step deterministic DDIM in the v-parameterization
-            # (training/distillation.py; throughput-only — random weights
-            # like every other leg)
-            from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
+            _STATE["baseline_value"] = eb["sps"]
+            _STATE.pop("baseline_eager", None)
+    else:
+        _set("baseline_error", (eb or {}).get("error") or (eb or {}).get("skipped", "skipped"))
+    _emit()
 
-            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
-            dd8 = GeneralizedGaussianDiffusion(
-                timesteps=T,
-                schedule_name="cosine",
-                eta=0.0,
-                ddim_timesteps=8,
-                objective="pred_v",
-            )
-            fused = jax.jit(lambda p, k: dd8.p_sample_loop(model_fn, p, shape, k))
-            key = jax.random.PRNGKey(6)
-            fused(params, key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 20
-            out = None
-            for i in range(RUNS):
-                out = fused(params, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            distill8 = {"sps": round(BATCH / sec, 1), "steps": 8, "objective": "pred_v"}
-        except Exception as e:
-            distill8 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            from diffusion_model_nemo_tpu.modules import DPMSolverDiffusion
+    full = os.environ.get("DMN_BENCH_FULL", "1") != "0"
 
-            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
-            dpm = DPMSolverDiffusion(
-                timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
-            )
-            fused = jax.jit(lambda p, k: dpm.p_sample_loop(model_fn, p, shape, k))
-            key = jax.random.PRNGKey(4)
-            fused(params, key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 10
-            out = None
-            for i in range(RUNS):
-                out = fused(params, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            dpm20 = {"sps": round(BATCH / sec, 1), "steps": 20, "order": 2}
-        except Exception as e:
-            dpm20 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            from diffusion_model_nemo_tpu.modules import KarrasDiffusion
+    # ---- training envelope on the flagship -----------------------------------
+    if full:
+        _run_leg(
+            "train",
+            lambda: _bench_training(
+                r32["model"], BATCH, fwd_flops=r32["flops_per_forward"], peak=peak
+            ),
+            est_s=45,
+        )
 
-            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
-            kd = KarrasDiffusion(
-                timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
-            )
-            fused = jax.jit(lambda p, k: kd.p_sample_loop(model_fn, p, shape, k))
-            key = jax.random.PRNGKey(5)
-            fused(params, key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 10
-            out = None
-            for i in range(RUNS):
-                out = fused(params, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            edm18 = {"sps": round(BATCH / sec, 1), "steps": 18, "order": 2, "nfe": 35}
-        except Exception as e:
-            edm18 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            # DiT-S/2 transformer backbone at DDIM-50: the MXU-shaped network
-            # (pure [B, N, D] matmuls, modules/dit.py) — driver-visible so the
-            # transformer path's throughput/MFU regressions show up.
+    # ---- quality leg (seeded tiny train + random-extractor FID) --------------
+    if full:
+        _run_leg("quality", _quality_leg, est_s=90)
+
+    # ---- fast-sampler legs ----------------------------------------------------
+    if full:
+        from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
+
+        _run_leg(
+            "ddim50",
+            lambda: _sampler_leg(
+                GeneralizedGaussianDiffusion(
+                    timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
+                ),
+                model_fn, params, shape, runs=10, key_seed=2,
+                extra={"steps": 50, "eta": 0.0},
+            ),
+            est_s=20,
+        )
+        # the progressive-distillation student's serving configuration:
+        # 8-step deterministic DDIM in the v-parameterization
+        # (training/distillation.py; throughput-only — random weights
+        # like every other leg)
+        _run_leg(
+            "distill8",
+            lambda: _sampler_leg(
+                GeneralizedGaussianDiffusion(
+                    timesteps=T, schedule_name="cosine", eta=0.0,
+                    ddim_timesteps=8, objective="pred_v",
+                ),
+                model_fn, params, shape, runs=20, key_seed=6,
+                extra={"steps": 8, "objective": "pred_v"},
+            ),
+            est_s=15,
+        )
+
+    # ---- realistic model size: dim-128 ---------------------------------------
+    if full:
+        def dim128_leg():
+            r128 = _bench_model(dim=128, batch=BATCH, runs=1, peak=peak, hbm_bw=hbm_bw)
+            out = {
+                "sps": round(r128["sps"], 4),
+                "mfu_pct": round(r128["mfu_pct"], 2),
+                "sol_pct": round(r128["sol_pct"], 2),
+                "params": r128["params"],
+            }
+            if _remaining() > 60:
+                try:  # training MFU at realistic model scale
+                    out["train"] = _bench_training(
+                        r128["model"], BATCH, steps=20, windows=2,
+                        fwd_flops=r128["flops_per_forward"], peak=peak,
+                    )
+                except Exception as e:
+                    out["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            return out
+
+        _run_leg("dim128", dim128_leg, est_s=60)
+
+    # ---- opt-in TPU-geometry fast path (tpu_geometry: s2d) -------------------
+    # Same public workload (CIFAR 32x32 in/out, 1000-step DDPM) on the
+    # space-to-depth variant: every U-Net level at half spatial resolution.
+    # A different architecture trained with the flag on (modules/unet.py) —
+    # reported separately; the parity model stays the headline.
+    if full:
+        def s2d_leg():
+            rs2d = _bench_model(dim=32, batch=BATCH, runs=3, peak=peak,
+                                hbm_bw=hbm_bw, tpu_geometry="s2d")
+            out = {
+                "sps": round(rs2d["sps"], 4),
+                "mfu_pct": round(rs2d["mfu_pct"], 2),
+                "sol_pct": round(rs2d["sol_pct"], 2),
+                "params": rs2d["params"],
+                "tpu_geometry": "s2d",
+            }
+            if _remaining() > 45:
+                try:  # s2d training envelope (same full update as `train`)
+                    out["train"] = _bench_training(
+                        rs2d["model"], BATCH, windows=2,
+                        fwd_flops=rs2d["flops_per_forward"], peak=peak,
+                    )
+                except Exception as e:
+                    out["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            return out
+
+        _run_leg("tpu_s2d", s2d_leg, est_s=45)
+
+    # ---- DiT-S/2 transformer backbone at DDIM-50 ------------------------------
+    # The MXU-shaped network (pure [B, N, D] matmuls, modules/dit.py) —
+    # driver-visible so the transformer path's throughput/MFU regressions
+    # show up.
+    if full:
+        def dit_leg():
             from diffusion_model_nemo_tpu.modules import (
                 DiT,
                 GeneralizedGaussianDiffusion,
             )
 
-            net = DiT(
-                dim=384, depth=12, heads=6, patch_size=2, channels=3,
-                dtype="bfloat16",
-            )
-            shape = (BATCH, IMG, IMG, 3)
-            xz = jnp.zeros(shape, jnp.float32)
+            net = DiT(dim=384, depth=12, heads=6, patch_size=2, channels=3,
+                      dtype="bfloat16")
+            dshape = (BATCH, IMG, IMG, 3)
+            xz = jnp.zeros(dshape, jnp.float32)
             tz = jnp.zeros((BATCH,), jnp.float32)
             dparams = net.init(jax.random.PRNGKey(8), xz, tz)["params"]
 
@@ -369,33 +640,54 @@ def main() -> None:
             dd = GeneralizedGaussianDiffusion(
                 timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
             )
-            fused = jax.jit(lambda p, k: dd.p_sample_loop(dit_fn, p, shape, k))
-            key = jax.random.PRNGKey(9)
-            fused(dparams, key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 5
-            out = None
-            for i in range(RUNS):
-                out = fused(dparams, jax.random.fold_in(key, i))
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            fwd = _forward_flops(dit_fn, dparams, shape)
-            dit50 = {
-                "sps": round(BATCH / sec, 1),
-                "steps": 50,
-                "mfu_pct": round(100.0 * fwd * 50 / (sec * peak), 2),
-                "params": sum(int(p.size) for p in jax.tree.leaves(dparams)),
-                "geometry": "DiT-S/2",
-            }
-        except Exception as e:
-            dit50 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
+            res = _sampler_leg(dd, dit_fn, dparams, dshape, runs=5, key_seed=9,
+                               extra={"steps": 50, "geometry": "DiT-S/2"})
+            fwd, _ = _forward_costs(dit_fn, dparams, dshape)
+            sec = dshape[0] / res["sps"]
+            res["mfu_pct"] = round(100.0 * fwd * 50 / (sec * peak), 2)
+            res["params"] = sum(int(p.size) for p in jax.tree.leaves(dparams))
+            return res
+
+        _run_leg("dit50", dit_leg, est_s=40)
+
+    # ---- higher-order ODE solvers ---------------------------------------------
+    if full:
+        from diffusion_model_nemo_tpu.modules import (
+            DPMSolverDiffusion,
+            KarrasDiffusion,
+        )
+
+        _run_leg(
+            "dpm20",
+            lambda: _sampler_leg(
+                DPMSolverDiffusion(
+                    timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
+                ),
+                model_fn, params, shape, runs=10, key_seed=4,
+                extra={"steps": 20, "order": 2},
+            ),
+            est_s=15,
+        )
+        _run_leg(
+            "edm18",
+            lambda: _sampler_leg(
+                KarrasDiffusion(
+                    timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
+                ),
+                model_fn, params, shape, runs=10, key_seed=5,
+                extra={"steps": 18, "order": 2, "nfe": 35},
+            ),
+            est_s=15,
+        )
+
+    # ---- score-SDE predictor-corrector ----------------------------------------
+    if full:
+        def pc_leg():
             from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
             from diffusion_model_nemo_tpu.modules.sde_samplers import (
                 PredictorCorrectorSampler,
             )
 
-            model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
             sde = VPSDE(N=1000)
             pcs = PredictorCorrectorSampler(
                 predictor="reverse_diffusion", corrector="langevin", snr=0.16, n_steps=1
@@ -408,19 +700,18 @@ def main() -> None:
             out = fused(params, jax.random.fold_in(key, 1))
             out.block_until_ready()
             sec = time.perf_counter() - t0
-            pc_sde = {"sps": round(BATCH / sec, 2), "nfe": 1000 * 2,
-                      "predictor": "reverse_diffusion", "corrector": "langevin"}
-        except Exception as e:
-            pc_sde = {"error": f"{type(e).__name__}: {e}"[:200]}
+            return {"sps": round(BATCH / sec, 2), "nfe": 1000 * 2,
+                    "predictor": "reverse_diffusion", "corrector": "langevin"}
 
-    # ---- latent diffusion leg: 1000-step DDPM on f=2 VAE latents -------------
+        _run_leg("pc_sde", pc_leg, est_s=25)
+
+    # ---- latent diffusion leg: 1000-step DDPM on f=2 VAE latents --------------
     # Same public workload (CIFAR 32x32 images out) via the LatentDiffusion
     # family: the dim-32 U-Net runs on 16x16x4 latents (4x fewer spatial
     # positions per network call) + ONE decoder pass — the architecture-level
     # route to faster sampling that keeps full-resolution decoding.
-    latent = None
-    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
-        try:
+    if full:
+        def latent_leg():
             from diffusion_model_nemo_tpu.models import LatentDiffusion
 
             ld_cfg = {
@@ -462,76 +753,19 @@ def main() -> None:
             out.block_until_ready()
             sec = (time.perf_counter() - t0) / RUNS
             n_unet = sum(int(p.size) for p in jax.tree.leaves(ld.params))
-            latent = {
-                "sps": round(BATCH / sec, 1), "steps": T, "latent": "16x16x4",
-                "unet_params": n_unet,
-            }
-        except Exception as e:
-            latent = {"error": f"{type(e).__name__}: {e}"[:200]}
+            return {"sps": round(BATCH / sec, 1), "steps": T,
+                    "latent": "16x16x4", "unet_params": n_unet}
 
-    # ---- opt-in TPU-geometry fast path (tpu_geometry: s2d) -------------------
-    # Same public workload (CIFAR 32x32 in/out, 1000-step DDPM) on the
-    # space-to-depth variant: every U-Net level at half spatial resolution.
-    # A different architecture trained with the flag on (modules/unet.py) —
-    # reported separately; the parity model stays the headline.
-    s2d = None
-    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
-        try:
-            rs2d = _bench_model(dim=32, batch=BATCH, runs=3, peak=peak,
-                                tpu_geometry="s2d")
-            s2d = {
-                "sps": round(rs2d["sps"], 4),
-                "mfu_pct": round(rs2d["mfu_pct"], 2),
-                "params": rs2d["params"],
-                "tpu_geometry": "s2d",
-            }
-            try:  # s2d training envelope (same full update as `train` below)
-                s2d["train"] = _bench_training(
-                    rs2d["model"], BATCH,
-                    fwd_flops=rs2d["flops_per_forward"], peak=peak,
-                )
-            except Exception as e:
-                s2d["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        except Exception as e:
-            s2d = {"error": f"{type(e).__name__}: {e}"[:200]}
+        _run_leg("latent1000", latent_leg, est_s=30)
 
-    # ---- realistic model size: dim-128 ---------------------------------------
-    # 8x better MXU efficiency than dim-32 (STATUS r1); skippable for quick
-    # runs via DMN_BENCH_FULL=0.
-    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
-        try:
-            r128 = _bench_model(dim=128, batch=BATCH, runs=1, peak=peak)
-            dim128 = {
-                "sps": round(r128["sps"], 4),
-                "mfu_pct": round(r128["mfu_pct"], 2),
-                "params": r128["params"],
-            }
-            try:  # training MFU at realistic model scale
-                dim128["train"] = _bench_training(
-                    r128["model"], BATCH, steps=20,
-                    fwd_flops=r128["flops_per_forward"], peak=peak,
-                )
-            except Exception as e:
-                dim128["train"] = {"error": f"{type(e).__name__}: {e}"[:200]}
-        except Exception as e:  # report the primary metric regardless
-            dim128 = {"error": f"{type(e).__name__}: {e}"[:200]}
-        try:
-            train = _bench_training(
-                r32["model"], BATCH,
-                fwd_flops=r32["flops_per_forward"], peak=peak,
-            )
-        except Exception as e:
-            train = {"error": f"{type(e).__name__}: {e}"[:200]}
-
-    # ---- serving-path throughput (production daemon, DDIM-50) ----------------
+    # ---- serving-path throughput (production daemon, DDIM-50) -----------------
     # End-to-end images/sec through BatchingSampler.submit(): request queue ->
     # coalescing -> fixed-shape device batch -> on-device uint8 -> per-request
     # slices. Compare with `ddim50` above to read off the serving overhead.
     # Runs LAST: change_sampler mutates the flagship model object.
-    serving = None
-    if os.environ.get("DMN_BENCH_FULL", "1") != "0":
-        try:
-            import threading
+    if full:
+        def serving_leg():
+            import threading as _th
 
             from diffusion_model_nemo_tpu.serving import BatchingSampler
 
@@ -559,7 +793,7 @@ def main() -> None:
                 except Exception as e:  # surfaced in the JSON
                     errors.append(f"{type(e).__name__}: {e}"[:120])
 
-            threads = [threading.Thread(target=client, args=(i,)) for i in range(N_REQ)]
+            threads = [_th.Thread(target=client, args=(i,)) for i in range(N_REQ)]
             t0 = time.perf_counter()
             for th in threads:
                 th.start()
@@ -568,7 +802,7 @@ def main() -> None:
             wall = time.perf_counter() - t0
             stats = b.snapshot_stats()
             b.stop()
-            serving = {
+            return {
                 "images_per_sec": round(N_REQ * PER / wall, 1),
                 "ddim_steps": 50,
                 "requests": N_REQ,
@@ -577,36 +811,11 @@ def main() -> None:
                 "batch_fill": stats.get("avg_batch_fill"),
                 "errors": errors[:2],
             }
-        except Exception as e:
-            serving = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    result = {
-        "metric": "CIFAR-10 32x32 samples/sec/chip, 1000-step DDPM (fused lax.scan sampler)",
-        "value": round(fused_sps, 4),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(fused_sps / eager_sps, 3),
-        "baseline": "reference-style per-step dispatch + host sync on same chip",
-        "baseline_value": round(eager_sps, 4),
-        "baseline_fallback": baseline_fallback,
-        "mfu_pct": round(r32["mfu_pct"], 2),
-        "flops_per_forward": r32["flops_per_forward"],
-        "device_kind": device_kind,
-        "peak_bf16_flops": peak,
-        "ddim50": ddim50,
-        "distill8": distill8,
-        "dpm20": dpm20,
-        "edm18": edm18,
-        "dit50": dit50,
-        "pc_sde": pc_sde,
-        "latent1000": latent,
-        "tpu_s2d": s2d,
-        "dim128": dim128,
-        "train": train,
-        "serving": serving,
-        "batch": BATCH,
-        "timesteps": T,
-    }
-    print(json.dumps(result))
+        _run_leg("serving", serving_leg, est_s=40)
+
+    _set("wall_s_total", round(time.monotonic() - (_DEADLINE[0] - budget_s), 1))
+    _emit()
 
 
 if __name__ == "__main__":
