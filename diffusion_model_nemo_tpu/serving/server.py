@@ -57,6 +57,7 @@ Endpoints (stdlib http.server; zero extra dependencies):
 from __future__ import annotations
 
 import base64
+import binascii
 import io
 import json
 import threading
@@ -69,6 +70,23 @@ import numpy as np
 from ..utils import logging
 
 __all__ = ["BatchingSampler", "SamplingServer", "serve"]
+
+
+def _to_unit_float_images(images: np.ndarray, what: str) -> np.ndarray:
+    """uint8 → [0, 1] floats; float inputs must already be in [0, 1].
+
+    A float array in [0, 255] (a common client mistake) would silently pass
+    every shape check and produce garbage outputs — reject it loudly with
+    the fix spelled out (ADVICE r3)."""
+    if images.dtype == np.uint8:
+        return images.astype(np.float32) / 255.0
+    images = images.astype(np.float32)
+    if images.size and float(images.max()) > 1.5:
+        raise ValueError(
+            f"float {what} must be in [0, 1] (got max {float(images.max()):.3g}); "
+            "divide by 255 or send uint8"
+        )
+    return images
 
 
 @dataclass
@@ -291,9 +309,7 @@ class BatchingSampler:
         images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"images must be [n, h, w, C], got {images.shape}")
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
-        images = images.astype(np.float32)
+        images = _to_unit_float_images(images, "LR inputs")
         expect = (self.lr_size, self.lr_size, int(self.model.channels))
         if tuple(images.shape[1:]) != expect:
             raise ValueError(
@@ -348,9 +364,7 @@ class BatchingSampler:
         images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"images must be [n, H, W, C], got {images.shape}")
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
-        images = images.astype(np.float32)
+        images = _to_unit_float_images(images, "edit inputs")
         expect = (self.image_size, self.image_size, int(self.model.channels))
         if tuple(images.shape[1:]) != expect:
             raise ValueError(
@@ -796,6 +810,15 @@ class SamplingServer:
                         self._json(200, {"images": [_png_b64(im) for im in images]})
                     else:
                         self._json(400, {"error": f"unknown format {fmt!r}"})
+                except (ValueError, TypeError, KeyError, binascii.Error) as e:
+                    # malformed payloads and failed submit_* validation
+                    # (bad base64/npy, wrong shape/range, non-numeric
+                    # strength/guidance, out-of-range strength...) are the
+                    # CLIENT's fault — 400, so callers can distinguish bad
+                    # requests from server faults (ADVICE r3).
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                except TimeoutError as e:
+                    self._json(504, {"error": f"{type(e).__name__}: {e}"})
                 except Exception as e:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -112,10 +112,17 @@ class ProgressiveDistiller:
     ):
         if loss_weighting not in ("truncated_snr", "uniform"):
             raise ValueError(f"unknown loss_weighting {loss_weighting!r}")
-        if guidance_scale is not None and not hasattr(model, "_cfg_model_fn"):
+        # Label-conditional gate: the guided step calls
+        # model._cfg_model_fn(labels, w). TextConditionalDDPM also defines
+        # _cfg_model_fn but with a (tokens, null, w) signature, so a bare
+        # hasattr gate would admit it and TypeError deep inside the jit.
+        if guidance_scale is not None and not (
+            hasattr(model, "_cfg_model_fn") and hasattr(model, "num_classes")
+        ):
             raise ValueError(
                 "guidance_scale requires a class-conditional model"
-                " (ConditionalDDPM) as the teacher"
+                " (ConditionalDDPM) as the teacher; text-conditional teachers"
+                " are not supported for guided distillation"
             )
         self.guidance_scale = None if guidance_scale is None else float(guidance_scale)
         self.model = model

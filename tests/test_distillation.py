@@ -208,6 +208,19 @@ def test_guidance_scale_requires_conditional_teacher():
         ProgressiveDistiller(model, guidance_scale=2.0)
 
 
+def test_guidance_scale_rejects_text_teacher(tmp_path):
+    """TextConditionalDDPM also defines _cfg_model_fn but with a
+    (tokens, null, w) signature; guided distillation must reject it loudly
+    instead of TypeError-ing inside the jitted step (ADVICE r3)."""
+    from test_text_conditional import tiny_text_cfg
+
+    from diffusion_model_nemo_tpu.models import TextConditionalDDPM
+
+    model = TextConditionalDDPM(cfg=tiny_text_cfg(tmp_path))
+    with pytest.raises(ValueError, match="text-conditional"):
+        ProgressiveDistiller(model, guidance_scale=2.0)
+
+
 def test_guided_distill_w1_matches_conditional():
     """w=1 CFG reduces to plain conditional (up to 2B-batch fp rounding), so
     the w=1 guided distill step must produce the unguided step's loss."""

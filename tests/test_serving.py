@@ -289,6 +289,10 @@ def test_edit_serving_roundtrip(batcher):
         batcher.submit_edit(src[0], timeout=30)
     with pytest.raises(ValueError, match="edit inputs"):
         batcher.submit_edit(np.zeros((1, IMG * 2, IMG * 2, 1), np.float32), timeout=30)
+    # float inputs in [0, 255] (a common client mistake) are rejected, not
+    # silently turned into garbage edits (ADVICE r3)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        batcher.submit_edit(src * 255.0, strength=0.5, timeout=30)
 
 
 def test_edit_http_surface(batcher):
@@ -317,15 +321,25 @@ def test_edit_http_surface(batcher):
         with urllib.request.urlopen(req, timeout=240) as r:
             arr = np.load(io.BytesIO(r.read()))
         assert arr.shape == (2, IMG, IMG, 1)
-        # missing images -> 400
-        req = urllib.request.Request(
-            f"{base}/edit", data=json.dumps({"strength": 0.5}).encode(), method="POST"
-        )
-        try:
-            urllib.request.urlopen(req, timeout=30)
-            assert False, "expected HTTP 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # client errors all map to 400, not 500 (ADVICE r3): missing images,
+        # out-of-range strength, malformed base64, non-numeric strength
+        bad_payloads = [
+            {"strength": 0.5},  # missing images_npy
+            {"images_npy": base64.b64encode(buf.getvalue()).decode("ascii"),
+             "strength": 7.0},  # out-of-range strength
+            {"images_npy": "!!!not-base64!!!", "strength": 0.5},
+            {"images_npy": base64.b64encode(buf.getvalue()).decode("ascii"),
+             "strength": "a lot"},  # non-numeric strength
+        ]
+        for payload in bad_payloads:
+            req = urllib.request.Request(
+                f"{base}/edit", data=json.dumps(payload).encode(), method="POST"
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, f"expected HTTP 400 for {payload.keys()}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (e.code, payload)
     finally:
         server._httpd.shutdown()
         server._httpd.server_close()
@@ -537,14 +551,15 @@ def test_sr3_http_surface():
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
 
-        # /sample on an SR archive -> error (route exists, mode mismatch)
+        # /sample on an SR archive -> client error (route exists, mode
+        # mismatch: the archive cannot serve it -> 400)
         req = urllib.request.Request(
             f"{base}/sample", data=json.dumps({"num_images": 1}).encode(),
             method="POST",
         )
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
-        assert ei.value.code == 500
+        assert ei.value.code == 400
     finally:
         server._httpd.shutdown()
         server._httpd.server_close()
@@ -667,7 +682,7 @@ def test_vocoder_http_surface(tmp_path):
         )
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
-        assert ei.value.code == 500
+        assert ei.value.code == 400  # mode mismatch is the client's error
     finally:
         server.shutdown()
 
