@@ -154,6 +154,7 @@ class TextConditionalDDPM(DDPM):
         shard_axis: str = "batch",
         guidance_scale: Optional[float] = None,
         negative_text: Union[None, str, Sequence[str]] = None,
+        context: Optional[np.ndarray] = None,
         **kwargs,
     ):
         """Prompted sampling; ``text=None`` samples unconditionally (null
@@ -161,15 +162,43 @@ class TextConditionalDDPM(DDPM):
         (requires a prompt; w=1 ≈ plain prompted, w>1 sharpens prompt
         adherence). ``negative_text`` replaces the null context as the CFG
         anchor (guidance pushes away from it — requires ``guidance_scale``).
-        ``mesh``/``shard_axis`` shard like ``DDPM.sample``."""
-        if guidance_scale is not None and text is None:
+        ``context`` feeds a precomputed float [B, L, context_dim] (or
+        [L, context_dim], broadcast) sequence from an EXTERNAL text encoder
+        instead of tokenizing ``text`` — mutually exclusive with the prompt
+        arguments; guided external-context sampling anchors on the all-zeros
+        context (the learned PAD-token null lives in the embedding table the
+        float path bypasses). ``mesh``/``shard_axis`` shard like
+        ``DDPM.sample``."""
+        if context is not None:
+            if text is not None or negative_text is not None:
+                raise ValueError(
+                    "context= replaces text prompts; pass either an external "
+                    "float context or text/negative_text, not both"
+                )
+            ctx = jnp.asarray(context, jnp.float32)
+            if ctx.ndim == 2:
+                ctx = jnp.tile(ctx[None], (batch_size, 1, 1))
+            if ctx.ndim != 3 or ctx.shape[0] != batch_size:
+                raise ValueError(
+                    f"context must be [B={batch_size}, L, D] or [L, D]; "
+                    f"got {np.shape(context)}"
+                )
+            ctx_dim = int(self.cfg.diffusion_model.get("context_dim", 0) or 0)
+            if ctx_dim and ctx.shape[-1] != ctx_dim:
+                raise ValueError(
+                    f"context feature dim {ctx.shape[-1]} != model "
+                    f"context_dim {ctx_dim}"
+                )
+            tokens, neg_tokens = ctx, jnp.zeros_like(ctx)
+        elif guidance_scale is not None and text is None:
             raise ValueError("guidance_scale requires a text prompt")
         if negative_text is not None and guidance_scale is None:
             raise ValueError("negative_text requires guidance_scale")
         key = key if key is not None else jax.random.PRNGKey(0)
         shape = (batch_size, image_size, image_size, int(self.channels))
-        tokens = self._tokens_array(batch_size, text)
-        neg_tokens = self._tokens_array(batch_size, negative_text)
+        if context is None:
+            tokens = self._tokens_array(batch_size, text)
+            neg_tokens = self._tokens_array(batch_size, negative_text)
         sampler = self.sampler
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -34,6 +34,8 @@ class SampleTextConfig:
     model_path: str = "TextDDPM-DiT.dmn"
     text: str = ""                 # "" = unconditional (null context)
     negative_text: str = ""        # CFG anchor to push away from (needs guidance)
+    context_npy: str = ""          # .npy float context [B|1, L, D] or [L, D] from
+                                   # an external text encoder (replaces text=)
     guidance_scale: float = -1.0   # <= 0 disables CFG
     batch_size: int = 16
     image_size: int = -1
@@ -69,6 +71,15 @@ def main(cfg):
     text = cfg.text or None
     w = cfg.guidance_scale if cfg.guidance_scale > 0 else None
 
+    context = None
+    if cfg.context_npy:
+        # Precomputed float contexts from ANY external text encoder (the DiT
+        # cross-attends to [B, L, context_dim] sequences directly —
+        # modules/dit.py). [1, L, D] broadcasts over the batch.
+        context = np.load(cfg.context_npy, allow_pickle=False)
+        if context.ndim == 3 and context.shape[0] == 1:
+            context = np.tile(context, (cfg.batch_size, 1, 1))
+
     imgs = np.asarray(
         model.sample(
             batch_size=cfg.batch_size,
@@ -77,6 +88,7 @@ def main(cfg):
             text=text,
             guidance_scale=w,
             negative_text=cfg.negative_text or None,
+            context=context,
         )
     )
 
@@ -91,9 +103,9 @@ def main(cfg):
         Image.fromarray(img[..., 0] if img.shape[-1] == 1 else img).save(
             out_dir / f"sample_{i}.png"
         )
+    what = f"external context {cfg.context_npy!r}" if cfg.context_npy else f"prompt {cfg.text!r}"
     logging.info(
-        f"Saved {imgs.shape[0]} samples for prompt {cfg.text!r} "
-        f"(guidance={w}) to {out_dir}"
+        f"Saved {imgs.shape[0]} samples for {what} (guidance={w}) to {out_dir}"
     )
 
 

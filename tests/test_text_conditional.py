@@ -292,6 +292,43 @@ def test_negative_prompt_guidance(tmp_path):
         model.sample(2, 8, key=key, text="class 1", negative_text="class 2")
 
 
+def test_external_float_context_sampling(tmp_path):
+    """``context=`` feeds a precomputed [B, L, D] float sequence from an
+    external encoder straight into the cross-attention (no tokenizer):
+    the context steers samples, [L, D] broadcasts, w=1 guidance collapses
+    to the unguided call (eps_0 + 1·(eps_c − eps_0) = eps_c), and the
+    prompt-vs-context exclusivity + shape validation reject loudly."""
+    cfg = tiny_text_cfg(tmp_path)
+    model = TextConditionalDDPM(cfg=cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    model.params = _activate_cross_attention(model.params)
+    model.ema_params = jax.tree.map(jnp.copy, model.params)
+
+    key = jax.random.PRNGKey(5)
+    ctx = np.random.RandomState(0).normal(size=(2, 6, 16)).astype(np.float32)
+    out = np.asarray(model.sample(2, 8, key=key, context=ctx))
+    assert out.shape == (2, 8, 8, 1) and np.isfinite(out).all()
+    # the context is live: a different context moves the samples
+    out_shift = np.asarray(model.sample(2, 8, key=key, context=ctx + 1.0))
+    assert not np.array_equal(out, out_shift)
+    # [L, D] broadcasts over the batch
+    out_b = np.asarray(model.sample(2, 8, key=key, context=ctx[0]))
+    assert out_b.shape == (2, 8, 8, 1)
+    # guided external context anchors on the zeros context; w=1 collapses
+    # to plain conditional exactly (up to 2B-batch fp rounding)
+    out_w1 = np.asarray(model.sample(2, 8, key=key, context=ctx, guidance_scale=1.0))
+    np.testing.assert_allclose(out_w1, out, atol=1e-4)
+    out_w3 = np.asarray(model.sample(2, 8, key=key, context=ctx, guidance_scale=3.0))
+    assert not np.array_equal(out_w3, out)
+
+    with pytest.raises(ValueError, match="not both"):
+        model.sample(2, 8, key=key, text="class 1", context=ctx)
+    with pytest.raises(ValueError, match="context must be"):
+        model.sample(2, 8, key=key, context=ctx[:1])  # B mismatch
+    with pytest.raises(ValueError, match="context_dim"):
+        model.sample(2, 8, key=key, context=ctx[:, :, :8])  # D mismatch
+
+
 @pytest.mark.slow
 def test_text_cli_round_trip(tmp_path):
     import subprocess, sys, os
@@ -326,3 +363,17 @@ def test_text_cli_round_trip(tmp_path):
     )
     assert sample.returncode == 0, sample.stderr[-3000:]
     assert (Path(tmp_path) / "samples" / "samples_grid.png").exists()
+
+    # external-encoder context path: context_npy= feeds a float [1, L, 16]
+    # sequence ([1, ...] broadcasts over the batch)
+    ctx_path = Path(tmp_path) / "ctx.npy"
+    np.save(ctx_path, np.random.RandomState(0).normal(size=(1, 6, 16)).astype(np.float32))
+    sample_ctx = subprocess.run(
+        [sys.executable, str(root / "examples" / "dit" / "sample_text_dit.py"),
+         f"model_path={archives[0]}", f"context_npy={ctx_path}",
+         "batch_size=4", f"output_dir={tmp_path}/samples_ctx",
+         "add_timestamp=false"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert sample_ctx.returncode == 0, sample_ctx.stderr[-3000:]
+    assert (Path(tmp_path) / "samples_ctx" / "samples_grid.png").exists()
