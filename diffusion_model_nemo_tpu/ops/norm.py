@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["group_norm_silu", "group_norm_silu_reference"]
 
@@ -138,6 +139,123 @@ def _pallas_forward(x, gamma, beta, groups, eps, scale=None, shift=None):
     return out.reshape(B, H, W, C)
 
 
+def _kernel_bm(x_ref, gamma_ref, beta_ref, o_ref, *, groups: int, eps: float,
+               hw_chunk: int, film: bool, scale_ref=None, shift_ref=None):
+    """Batch-minor GroupNorm(+FiLM)+SiLU: block is [HW, C, L] with the 128
+    lanes holding 128 SAMPLES (the layout XLA already chose for the dim-32
+    graph — the C-minor kernels above pay a repack copy to undo it).
+
+    Stats are per (group, lane): chunked f32 sum/sumsq over sublanes (HW),
+    channel→group fold by sublane reshape, then a second VMEM pass
+    normalizes + affines + FiLMs + SiLUs in place. ONE HBM read + write
+    total (the XLA fusion pair needs stats-read + normalize-read + write).
+    """
+    HW, C, L = x_ref.shape
+    G, cg = groups, C // groups
+    n_chunks = (HW + hw_chunk - 1) // hw_chunk
+    ssum = jnp.zeros((C, L), jnp.float32)
+    ssq = jnp.zeros((C, L), jnp.float32)
+    for i in range(n_chunks):
+        xc = x_ref[i * hw_chunk : (i + 1) * hw_chunk].astype(jnp.float32)
+        ssum = ssum + jnp.sum(xc, axis=0)
+        ssq = ssq + jnp.sum(xc * xc, axis=0)
+    n = HW * cg
+    gmean = ssum.reshape(G, cg, L).sum(axis=1) / n  # [G, L]
+    gsq = ssq.reshape(G, cg, L).sum(axis=1) / n
+    gvar = jnp.maximum(gsq - gmean * gmean, 0.0)
+    grstd = jax.lax.rsqrt(gvar + eps)
+    mean_c = jnp.broadcast_to(gmean[:, None, :], (G, cg, L)).reshape(C, L)
+    rstd_c = jnp.broadcast_to(grstd[:, None, :], (G, cg, L)).reshape(C, L)
+    ga = gamma_ref[...].astype(jnp.float32)  # [C, L] (pre-broadcast)
+    be = beta_ref[...].astype(jnp.float32)
+    a = rstd_c * ga
+    b = be - mean_c * a
+    if film:
+        sc = scale_ref[...].astype(jnp.float32) + 1.0  # [C, L]
+        sh = shift_ref[...].astype(jnp.float32)
+        a, b = a * sc, b * sc + sh
+    for i in range(n_chunks):
+        xc = x_ref[i * hw_chunk : (i + 1) * hw_chunk].astype(jnp.float32)
+        out = xc * a + b
+        o_ref[i * hw_chunk : (i + 1) * hw_chunk] = (
+            out * jax.nn.sigmoid(out)
+        ).astype(o_ref.dtype)
+
+
+def _pallas_forward_bm(x, gamma, beta, groups, eps, scale=None, shift=None,
+                       interpret=False):
+    """Batch-minor dispatch: x [B, H, W, C] viewed as [HW, C, B] (a bitcast
+    when XLA's layout for x is already batch-minor), gridded over 128-lane
+    sample blocks, output aliased onto the input block so a level-0 tensor
+    (8.4 MB) fits the ~16 MB VMEM once, not twice."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    HW = H * W
+    LB = 128  # one lane tile of samples per grid step
+    xt = jnp.transpose(x.reshape(B, HW, C), (1, 2, 0))  # [HW, C, B]
+    gb = jnp.broadcast_to(gamma.astype(jnp.float32)[:, None], (C, LB))
+    bb = jnp.broadcast_to(beta.astype(jnp.float32)[:, None], (C, LB))
+    # f32 chunk intermediates ~2 MB: chunk of 128 sublane rows at C<=128
+    hw_chunk = max(min(HW, (2 * 1024 * 1024) // (C * LB * 4)), 8)
+
+    blk = pl.BlockSpec((HW, C, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    cl = pl.BlockSpec((C, LB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    film = scale is not None
+    kern = functools.partial(
+        _kernel_bm, groups=groups, eps=eps, hw_chunk=hw_chunk, film=film,
+    )
+    if film:
+        # FiLM scale/shift are per (B, C): transpose to [C, B] lanes
+        st = jnp.transpose(jnp.reshape(scale, (B, C))).astype(jnp.float32)
+        ht = jnp.transpose(jnp.reshape(shift, (B, C))).astype(jnp.float32)
+
+        def kern_film(x_ref, g_ref, b_ref, s_ref, h_ref, o_ref):
+            kern(x_ref, g_ref, b_ref, o_ref, scale_ref=s_ref, shift_ref=h_ref)
+
+        out_t = pl.pallas_call(
+            kern_film,
+            out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
+            grid=(B // LB,),
+            in_specs=[blk, cl, cl, cl, cl],
+            out_specs=blk,
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(xt, gb, bb, st, ht)
+    else:
+        out_t = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
+            grid=(B // LB,),
+            in_specs=[blk, cl, cl],
+            out_specs=blk,
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(xt, gb, bb)
+    return jnp.transpose(out_t, (2, 0, 1)).reshape(B, H, W, C)
+
+
+def _use_pallas_bm(x, scale) -> bool:
+    """Batch-minor GN route: opt-in via DMN_TPU_PALLAS_NORM_BM=1 (or
+    =interpret off-TPU for tests) while the chip measurement is pending —
+    tools/bench_groupnorm.py measures it against the XLA fusion chain."""
+    import os
+
+    flag = os.environ.get("DMN_TPU_PALLAS_NORM_BM", "0")
+    if flag == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon") and flag != "interpret":
+        return False
+    B, H, W, C = x.shape
+    if B % 128 != 0 or C > 128:
+        return False
+    if scale is not None and np.prod(np.shape(scale)) != B * C:
+        return False  # only per-(B, C) FiLM transposes to [C, B] lanes
+    # block [HW, C, 128] + f32 intermediates must fit VMEM (aliased in/out)
+    return H * W * C * 128 * x.dtype.itemsize <= 12 * 1024 * 1024
+
+
 def _use_pallas(x) -> bool:
     """Pallas GN is OPT-IN (DMN_TPU_PALLAS_NORM=1).
 
@@ -161,6 +279,9 @@ def _use_pallas(x) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gn_silu(x, gamma, beta, groups, eps):
+    if _use_pallas_bm(x, None):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_forward_bm(x, gamma, beta, groups, eps, interpret=interpret)
     if _use_pallas(x):
         return _pallas_forward(x, gamma, beta, groups, eps)
     return group_norm_silu_reference(x, gamma, beta, groups, eps)
@@ -183,6 +304,11 @@ _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _gn_film_silu(x, gamma, beta, scale, shift, groups, eps):
+    if _use_pallas_bm(x, scale):
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _pallas_forward_bm(
+            x, gamma, beta, groups, eps, scale, shift, interpret=interpret
+        )
     if _use_pallas(x):
         return _pallas_forward(x, gamma, beta, groups, eps, scale, shift)
     return group_norm_silu_reference(x, gamma, beta, groups, eps, scale, shift)

@@ -55,6 +55,45 @@ def test_group_norm_silu_gradients():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
 
+def test_group_norm_silu_batch_minor_kernel(monkeypatch):
+    """Batch-minor packed GN kernel (interpret mode on CPU) vs the XLA
+    reference at the flagship's L0/L1 shapes, bf16 + FiLM + custom_vjp
+    grads (backward recomputes through the reference)."""
+    monkeypatch.setenv("DMN_TPU_PALLAS_NORM_BM", "interpret")
+    rng = np.random.RandomState(4)
+    for B, H, W, C, groups in ((128, 8, 8, 32, 8), (128, 4, 4, 64, 8)):
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
+        gamma = jnp.asarray(rng.randn(C).astype(np.float32))
+        beta = jnp.asarray(rng.randn(C).astype(np.float32))
+        scale = jnp.asarray(rng.randn(B, 1, 1, C).astype(np.float32))
+        shift = jnp.asarray(rng.randn(B, 1, 1, C).astype(np.float32))
+
+        out = group_norm_silu(x, gamma, beta, groups)
+        ref = group_norm_silu_reference(x, gamma, beta, groups)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+        )
+        out_f = group_norm_silu(x, gamma, beta, groups, scale_shift=(scale, shift))
+        ref_f = group_norm_silu_reference(
+            x, gamma, beta, groups, scale=scale, shift=shift
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f, np.float32), np.asarray(ref_f, np.float32), atol=5e-2
+        )
+    # grads recompute through the reference formula regardless of dispatch
+    xs = jnp.asarray(rng.randn(128, 2, 2, 32).astype(np.float32), jnp.bfloat16)
+    g1 = jax.grad(
+        lambda x: group_norm_silu(x, gamma[:32], beta[:32], 8).astype(jnp.float32).sum()
+    )(xs)
+    monkeypatch.setenv("DMN_TPU_PALLAS_NORM_BM", "0")
+    g2 = jax.grad(
+        lambda x: group_norm_silu(x, gamma[:32], beta[:32], 8).astype(jnp.float32).sum()
+    )(xs)
+    np.testing.assert_allclose(
+        np.asarray(g1, np.float32), np.asarray(g2, np.float32), atol=1e-5
+    )
+
+
 def test_fused_attention_matches_reference_and_torch():
     rng = np.random.RandomState(3)
     B, N, h, d = 2, 9, 4, 8
