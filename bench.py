@@ -479,7 +479,14 @@ def main() -> None:
             _STATE.pop("northstar", None)
     _emit()
     if not r32 or "error" in r32:
-        return  # nothing else is meaningful without the flagship model
+        # nothing else is meaningful without the flagship model; still report
+        # every leg explicitly so the record is complete
+        for leg in ("baseline_eager", "train", "quality", "ddim50", "distill8",
+                    "dim128", "tpu_s2d", "dit50", "dpm20", "edm18", "pc_sde",
+                    "latent1000", "serving"):
+            _set(leg, {"skipped": "northstar_failed"})
+        _emit()
+        return
 
     model_fn, params, shape = r32["model_fn"], r32["params_tree"], r32["shape"]
 
