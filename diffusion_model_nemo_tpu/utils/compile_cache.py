@@ -55,6 +55,15 @@ def enable_persistent_compilation_cache(
         logging.warning(
             f"persistent compilation cache moving {_enabled_dir} -> {cache_dir}"
         )
+        # jax materializes the cache object lazily on first use and then
+        # ignores jax_compilation_cache_dir updates; drop it so the new
+        # directory actually takes effect mid-process.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - jax-version dependent
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_time_secs)

@@ -29,6 +29,14 @@ def cache_reset():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
     compile_cache._enabled_dir = prev_enabled
+    # the lazily-materialized cache object pins the test's tmp dir; drop it
+    # so later tests in the process write to the restored directory
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:
+        pass
 
 
 def test_enable_writes_cache_entries(tmp_path, cache_reset):
