@@ -537,11 +537,7 @@ def main() -> None:
             est_s=45,
         )
 
-    # ---- quality leg (seeded tiny train + random-extractor FID) --------------
-    if full:
-        _run_leg("quality", _quality_leg, est_s=90)
-
-    # ---- fast-sampler legs ----------------------------------------------------
+    # ---- fast-sampler legs (cheap; before the quality leg's 300-step train) --
     if full:
         from diffusion_model_nemo_tpu.modules import GeneralizedGaussianDiffusion
 
@@ -572,6 +568,10 @@ def main() -> None:
             ),
             est_s=15,
         )
+
+    # ---- quality leg (seeded tiny train + random-extractor FID) --------------
+    if full:
+        _run_leg("quality", _quality_leg, est_s=90)
 
     # ---- realistic model size: dim-128 ---------------------------------------
     if full:
