@@ -258,6 +258,7 @@ def test_ct_mode_needs_no_teacher_field():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # 117 s: mesh + single-device consistency distillation, SGD legs
 def test_mesh_dp_matches_single_device():
     """CD over the 8-way data mesh: losses and the final student equal the
     single-device run (params replicated, batch sharded, SPMD reductions).

@@ -221,6 +221,7 @@ def test_guidance_scale_rejects_text_teacher(tmp_path):
         ProgressiveDistiller(model, guidance_scale=2.0)
 
 
+@pytest.mark.slow  # 71 s: guided + plain distill steps on a conditional teacher
 def test_guided_distill_w1_matches_conditional():
     """w=1 CFG reduces to plain conditional (up to 2B-batch fp rounding), so
     the w=1 guided distill step must produce the unguided step's loss."""
@@ -275,6 +276,7 @@ def test_guided_distill_e2e():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # 162 s: three-stage guided distillation recipe, many step compiles
 def test_guidance_absorbed_exactly_once(monkeypatch):
     """Only the FIRST stage of the recipe may wrap the teacher in the CFG
     combination — later teachers are students that already absorbed w, and

@@ -346,6 +346,7 @@ def _batches(batch_size=8, seed=0):
         yield {"image": rng.integers(0, 255, (batch_size, IMG, IMG, 1), dtype=np.uint8)}
 
 
+@pytest.mark.slow  # 166 s: full EDM train loop + sampler compile
 def test_model_training_decreases_loss_and_samples():
     from diffusion_model_nemo_tpu.models import EDM
 

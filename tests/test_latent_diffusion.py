@@ -212,6 +212,7 @@ def test_latent_diffusion_geometry_and_validation(tmp_path, ae_archive):
         LatentDiffusion(cfg=bad)
 
 
+@pytest.mark.slow  # 76 s: VAE + latent train + sample + interpolate compiles
 def test_latent_diffusion_train_sample_interpolate(tmp_path, ae_archive):
     model = LatentDiffusion(cfg=ld_model_cfg(tmp_path, {"restore_from": ae_archive}))
     model.init_params(jax.random.PRNGKey(0))

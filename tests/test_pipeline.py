@@ -65,6 +65,7 @@ def test_pipeline_more_microbatches_than_stages(mlp_stages, rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
 
 
+@pytest.mark.slow  # 70 s: pipelined grads vs sequential, fwd+bwd compile x2
 def test_pipeline_gradients_match_sequential(mlp_stages, rng):
     """jax.grad through the pipeline (ppermute transpose = reverse permute)
     equals sequential backprop."""
@@ -127,6 +128,7 @@ def test_pipeline_validation_errors(mlp_stages, rng):
         pipeline_apply(_mlp_stage, bad, jnp.zeros((8, D)), mesh)
 
 
+@pytest.mark.slow  # 125 s: pipelined vs sequential DiT stacks, two big compiles
 def test_pipelined_dit_blocks_match_sequential(rng):
     """A real transformer pipeline: P DiTBlocks (adaLN-zero attention+MLP
     stages) pipelined over 4 devices equal the sequential block stack."""

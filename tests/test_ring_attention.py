@@ -93,6 +93,7 @@ def test_token_divisibility_error():
 _DIT_KW = dict(dim=64, depth=2, heads=4, patch_size=2, channels=3)
 
 
+@pytest.mark.slow  # 233 s: full token-sharded DiT vs unsharded, fwd+bwd compile x2
 def test_dit_sequence_parallel_matches_unsharded():
     mesh = make_mesh(axis_names=("seq",))
     plain = DiT(**_DIT_KW)

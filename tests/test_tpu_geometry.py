@@ -106,6 +106,7 @@ def test_unet_s2d_hybrid_shapes():
     assert any(k.shape[-2] == 4 for k in conv_kernels)
 
 
+@pytest.mark.slow  # 65 s: flagship-geometry hybrid train + 2 sampler compiles
 def test_flagship_s2d_hybrid_train_and_sample():
     from __graft_entry__ import _flagship
 
