@@ -16,10 +16,14 @@ if a device call hangs mid-leg). The driver should always get a parseable
 line with every leg present-or-explicitly-skipped.
 
 Also reports MFU and ``sol_pct`` so "speed-of-light" is checkable, not
-asserted: FLOPs/bytes come from XLA's cost analysis of one compiled U-Net
-forward × NFE (the sampler's non-network math is negligible); ``sol_pct`` is
-the achieved fraction of the roofline chain time
-``NFE * max(flops/peak_flops, bytes/hbm_bw)``.
+asserted: FLOPs come from XLA's cost analysis of one compiled U-Net forward
+× NFE (the sampler's non-network math is negligible); ``sol_pct`` is the
+achieved fraction of the physical roofline chain time
+``NFE * max(flops/peak_flops, bytes_min/hbm_bw)`` where ``bytes_min`` is
+the indisputable per-call HBM floor (input + output + one bf16 param read).
+XLA's full "bytes accessed" is reported (``bytes_per_forward``) but is not
+the denominator: it counts operand traffic that stays VMEM-resident across
+scan steps, and the measured chain beats it.
 
 Quality leg (``quality``): fixed-seed 300-step training run on a structured
 synthetic task + random-extractor FID of its samples — numeric quality
@@ -201,17 +205,22 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float, hbm_bw: float,
     sec = (time.perf_counter() - t0) / runs
 
     fwd_flops, fwd_bytes = _forward_costs(model_fn, params, shape)
-    # Roofline speed-of-light for the whole chain: each of the T network
-    # calls is bounded below by both the MXU time and the HBM traffic time
-    # of its (pure-XLA, post-fusion) computation.
-    t_sol = T * max(fwd_flops / peak, fwd_bytes / hbm_bw)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    # Physical roofline floor per network call: MXU time on the XLA-counted
+    # flops vs HBM time on the INDISPUTABLE minimum traffic (input + output
+    # + one bf16 read of the params). XLA's full "bytes accessed" is NOT a
+    # valid denominator here — it counts operand traffic that stays
+    # VMEM-resident across scan steps, and the measured chain beats it
+    # (sol > 100%), so it is reported for reference only.
+    io_bytes = 2 * int(np.prod(shape)) * 4 + n_params * 2
+    t_floor = T * max(fwd_flops / peak, io_bytes / hbm_bw)
+    bound = "compute" if fwd_flops / peak >= io_bytes / hbm_bw else "memory"
     return {
         "sps": batch / sec,
         "sec_per_chain": sec,
         "mfu_pct": 100.0 * fwd_flops * T / (sec * peak),
-        "sol_pct": 100.0 * t_sol / sec,
-        "bound": "memory" if fwd_bytes / hbm_bw > fwd_flops / peak else "compute",
+        "sol_pct": 100.0 * t_floor / sec,
+        "bound": bound,
         "flops_per_forward": fwd_flops,
         "bytes_per_forward": fwd_bytes,
         "params": n_params,
