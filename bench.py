@@ -376,26 +376,38 @@ def _quality_leg() -> dict:
     ema = jax.tree.map(jnp.copy, model.ema_params)
     opt = tx.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def update(params, opt_state, ema_params, batch, key, step):
-        (loss, _), g = jax.value_and_grad(model.training_step, has_aux=True)(
-            params, batch, key, step
-        )
-        u, opt_state = tx.update(g, opt_state, params)
-        params = optax.apply_updates(params, u)
-        ema_params = ema_update(ema_params, params, 0.999, step)
-        return params, opt_state, ema_params, loss
+    # the whole 300-step run is ONE lax.scan dispatch (per-step host
+    # dispatches through the remote tunnel would dominate this leg)
+    data_dev = jnp.asarray(data)
+    labels = jnp.zeros((QB,), jnp.int32)
+    base_key = jax.random.PRNGKey(42)
 
-    key = jax.random.PRNGKey(42)
-    last_losses = []
-    for i in range(STEPS):
-        b = {"image": data[i % 8], "label": np.zeros((QB,), np.int32)}
-        params, opt, ema, loss = update(
-            params, opt, ema, b, jax.random.fold_in(key, i), jnp.asarray(i)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_scan(params, opt_state, ema_params):
+        def body(carry, i):
+            params, opt_state, ema_params = carry
+            b = {
+                "image": jax.lax.dynamic_index_in_dim(
+                    data_dev, i % 8, keepdims=False
+                ),
+                "label": labels,
+            }
+            key = jax.random.fold_in(base_key, i)
+            (loss, _), g = jax.value_and_grad(model.training_step, has_aux=True)(
+                params, b, key, i
+            )
+            u, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, u)
+            ema_params = ema_update(ema_params, params, 0.999, i)
+            return (params, opt_state, ema_params), loss
+
+        (params, opt_state, ema_params), losses = jax.lax.scan(
+            body, (params, opt_state, ema_params), jnp.arange(STEPS)
         )
-        if i >= STEPS - 5:
-            last_losses.append(float(loss))
-    loss300 = float(np.mean(last_losses))
+        return params, opt_state, ema_params, losses
+
+    params, opt, ema, losses = train_scan(params, opt, ema)
+    loss300 = float(jnp.mean(losses[-5:]))
 
     model.params = params
     model.ema_params = ema
@@ -434,7 +446,10 @@ def _quality_leg() -> dict:
 
 
 def main() -> None:
-    budget_s = float(os.environ.get("DMN_BENCH_BUDGET_S", "600"))
+    # Default budget: a warm-cache full run fits well inside it, and the
+    # incremental JSON printing means even a harder external kill leaves the
+    # latest complete record in the tail.
+    budget_s = float(os.environ.get("DMN_BENCH_BUDGET_S", "1500"))
     _install_watchdog(budget_s)
     _set("budget_s", budget_s)
     _emit()  # a parseable (null-value) line exists from t=0
