@@ -9,7 +9,7 @@ the reference's ``p_sample_loop`` does — gaussian_diffusion.py:170-189).
 Timeout-proof by construction (the round-3 driver record was rc=124 with no
 output): the north-star leg runs FIRST and its JSON line is printed/flushed
 immediately; every further leg re-prints the updated line when it lands; a
-wall-clock budget (``DMN_BENCH_BUDGET_S``, default 600s) is enforced both
+wall-clock budget (``DMN_BENCH_BUDGET_S``, default 1500s) is enforced both
 cooperatively (legs that cannot fit are reported ``{"skipped": "budget"}``)
 and preemptively (a watchdog thread prints the final JSON and exits 0 even
 if a device call hangs mid-leg). The driver should always get a parseable
@@ -175,8 +175,9 @@ def _forward_costs(model_fn, params, shape) -> tuple:
 
 
 def _bench_model(dim: int, batch: int, runs: int, peak: float, hbm_bw: float,
-                 tpu_geometry: str = "off") -> dict:
-    """Fused-scan sampling throughput + MFU + roofline SoL for one model size."""
+                 tpu_geometry: str = "off", windows: int = 2) -> dict:
+    """Fused-scan sampling throughput + MFU + roofline SoL for one model
+    size. Best-of-``windows`` timing (tunnel degradation episodes)."""
     import jax
 
     from __graft_entry__ import _flagship
@@ -197,12 +198,14 @@ def _bench_model(dim: int, batch: int, runs: int, peak: float, hbm_bw: float,
     fused = jax.jit(lambda p, k: sampler.p_sample_loop(model_fn, p, shape, k))
     key = jax.random.PRNGKey(1)
     fused(params, key).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    out = None
-    for i in range(runs):
-        out = fused(params, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    sec = (time.perf_counter() - t0) / runs
+    sec = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(runs):
+            out = fused(params, jax.random.fold_in(key, w * runs + i))
+        out.block_until_ready()
+        sec = min(sec, (time.perf_counter() - t0) / runs)
 
     fwd_flops, fwd_bytes = _forward_costs(model_fn, params, shape)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
@@ -306,19 +309,24 @@ def _bench_training(
 
 
 def _sampler_leg(diffusion, model_fn, params, shape, runs: int, key_seed: int,
-                 extra: dict) -> dict:
-    """Generic fused-sampler throughput leg."""
+                 extra: dict, windows: int = 3) -> dict:
+    """Generic fused-sampler throughput leg. Best of ``windows`` timing
+    windows: the remote dispatch tunnel has multi-second degradation
+    episodes that otherwise land 2-3x swings on the short legs (observed
+    3.9k vs 9.8k sps for the identical distill8 program on the same day)."""
     import jax
 
     fused = jax.jit(lambda p, k: diffusion.p_sample_loop(model_fn, p, shape, k))
     key = jax.random.PRNGKey(key_seed)
     fused(params, key).block_until_ready()
-    t0 = time.perf_counter()
-    out = None
-    for i in range(runs):
-        out = fused(params, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    sec = (time.perf_counter() - t0) / runs
+    sec = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(runs):
+            out = fused(params, jax.random.fold_in(key, w * runs + i))
+        out.block_until_ready()
+        sec = min(sec, (time.perf_counter() - t0) / runs)
     return {"sps": round(shape[0] / sec, 1), **extra}
 
 
@@ -571,7 +579,7 @@ def main() -> None:
                 GeneralizedGaussianDiffusion(
                     timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
                 ),
-                model_fn, params, shape, runs=10, key_seed=2,
+                model_fn, params, shape, runs=5, key_seed=2,
                 extra={"steps": 50, "eta": 0.0},
             ),
             est_s=20,
@@ -587,7 +595,7 @@ def main() -> None:
                     timesteps=T, schedule_name="cosine", eta=0.0,
                     ddim_timesteps=8, objective="pred_v",
                 ),
-                model_fn, params, shape, runs=20, key_seed=6,
+                model_fn, params, shape, runs=10, key_seed=6,
                 extra={"steps": 8, "objective": "pred_v"},
             ),
             est_s=15,
@@ -671,8 +679,8 @@ def main() -> None:
             dd = GeneralizedGaussianDiffusion(
                 timesteps=T, schedule_name="cosine", eta=0.0, ddim_timesteps=50
             )
-            res = _sampler_leg(dd, dit_fn, dparams, dshape, runs=5, key_seed=9,
-                               extra={"steps": 50, "geometry": "DiT-S/2"})
+            res = _sampler_leg(dd, dit_fn, dparams, dshape, runs=2, key_seed=9,
+                               extra={"steps": 50, "geometry": "DiT-S/2"}, windows=2)
             fwd, _ = _forward_costs(dit_fn, dparams, dshape)
             sec = dshape[0] / res["sps"]
             res["mfu_pct"] = round(100.0 * fwd * 50 / (sec * peak), 2)
@@ -694,7 +702,7 @@ def main() -> None:
                 DPMSolverDiffusion(
                     timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
                 ),
-                model_fn, params, shape, runs=10, key_seed=4,
+                model_fn, params, shape, runs=5, key_seed=4,
                 extra={"steps": 20, "order": 2},
             ),
             est_s=15,
@@ -705,7 +713,7 @@ def main() -> None:
                 KarrasDiffusion(
                     timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
                 ),
-                model_fn, params, shape, runs=10, key_seed=5,
+                model_fn, params, shape, runs=5, key_seed=5,
                 extra={"steps": 18, "order": 2, "nfe": 35},
             ),
             est_s=15,
