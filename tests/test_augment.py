@@ -88,6 +88,7 @@ def test_label_sampling_determinism_and_gating():
     assert ((l[:, 2] != 0).mean()) < 0.5
 
 
+@pytest.mark.slow  # 53 s warm: two full EDM net applies with/without hook
 def test_network_hook_none_equals_zero_descriptor():
     from diffusion_model_nemo_tpu.modules import DiT, Unet
 
@@ -135,6 +136,7 @@ def _batch(B=8):
     }
 
 
+@pytest.mark.slow  # 55 s warm: two full EDM train programs, bitwise compare
 def test_edm_augment_prob_zero_is_bitwise_baseline():
     plain = _edm()
     cfg_off = _edm(augment_prob=0.0)

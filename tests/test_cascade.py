@@ -96,6 +96,7 @@ def test_geometry_and_type_validation():
 
 
 # ---- 2+3. key-stream contract and two-stage shapes ------------------------------------
+@pytest.mark.slow  # 27 s warm: cascade + two manual stage programs
 def test_cascade_matches_manual_stages_bitwise():
     from diffusion_model_nemo_tpu.pipelines import CascadePipeline
 
@@ -146,6 +147,7 @@ def test_from_archives_round_trip(tmp_path):
 
 
 # ---- 5. conditioning augmentation -------------------------------------------------------
+@pytest.mark.slow  # 30 s warm: two SR3 train programs, bitwise compare
 def test_cond_aug_perturbs_training_conditioning_only():
     from diffusion_model_nemo_tpu.models import SR3
 

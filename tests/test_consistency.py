@@ -136,7 +136,10 @@ def _synthetic_batches(batch_size=4, seed=0):
         yield {"image": rng.integers(0, 255, (batch_size, IMG, IMG, 1), dtype=np.uint8)}
 
 
-@pytest.mark.parametrize("mu", [0.0, 1.0])
+@pytest.mark.parametrize(
+    "mu",
+    [0.0, pytest.param(1.0, marks=pytest.mark.slow)],  # 20+17 s warm; one param keeps the quick loop
+)
 def test_ema_target_update(mu):
     model = DDPM(cfg=_tiny_cfg())
     model.init_params(jax.random.PRNGKey(0))
@@ -201,6 +204,7 @@ def test_consistency_e2e_tiny_unet(tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.slow  # 29 s warm: CT-mode train program on the analytic field
 def test_ct_mode_closed_form_loss():
     """CT (mode=train): with grid_steps=2 the only transition is
     sigma_max -> sigma_min, where the target head is the identity

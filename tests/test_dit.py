@@ -219,6 +219,7 @@ def test_dit_archive_round_trip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # 35 s warm: conditional DiT train + CFG sample
 def test_conditional_ddpm_with_dit(rng):
     """The ConditionalDDPM family (50% null-class masking, guided sampling)
     runs unchanged on the DiT backbone."""

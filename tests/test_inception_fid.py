@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-net parity vs torchvision Inception (78 s random-init fixture alone):
+# slow-suite; quick FID math coverage lives in test_metrics.py/test_scores.py
+pytestmark = pytest.mark.slow
+
 from diffusion_model_nemo_tpu.metrics import FIDScorer
 from diffusion_model_nemo_tpu.metrics.inception import (
     INCEPTION_FEATURE_DIM,

@@ -143,6 +143,7 @@ def test_autoencoder_shapes_and_factor(rng):
 # ---- AutoencoderKLModel ----------------------------------------------------------
 
 
+@pytest.mark.slow  # 41 s warm: full VAE training loop
 def test_autoencoder_model_training_reduces_loss(tmp_path):
     model = AutoencoderKLModel(cfg=ae_model_cfg(tmp_path))
     model.init_params(jax.random.PRNGKey(0))

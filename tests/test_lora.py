@@ -190,6 +190,7 @@ def test_adapter_save_load_reapply(tmp_path):
 
 
 # ---- 5. mesh equivalence ---------------------------------------------------------------
+@pytest.mark.slow  # 24 s warm: mesh + single-device LoRA steps
 def test_mesh_lora_step_matches_single_device():
     from diffusion_model_nemo_tpu.parallel import make_mesh
     from diffusion_model_nemo_tpu.training import LoRAFinetuner

@@ -331,6 +331,7 @@ def test_conditional_sharded_sampling_matches_replicated(tmp_path):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=2e-5)
 
 
+@pytest.mark.slow  # 33 s warm: two in-graph RK45 sampling programs
 def test_sde_probflow_sharded_sampling_matches_replicated(tmp_path):
     """ScoreSDE probability-flow (in-graph RK45) sampling under mesh
     out_shardings: the adaptive while_loop partitions over the data axis and

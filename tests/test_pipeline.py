@@ -55,6 +55,7 @@ def test_pipeline_forward_exact(mlp_stages, rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
 
 
+@pytest.mark.slow  # 43 s warm: extra pipelined schedule compile
 def test_pipeline_more_microbatches_than_stages(mlp_stages, rng):
     mesh = make_mesh(jax.devices()[:P_STAGES], axis_names=("pipe",), shape=(P_STAGES,))
     x = jax.random.normal(rng, (16, D))
@@ -90,6 +91,7 @@ def test_pipeline_gradients_match_sequential(mlp_stages, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # 27 s warm: DPxPP mesh schedule compile
 def test_pipeline_dp_pp_composition(mlp_stages, rng):
     """2-D (data, pipe) mesh: batch sharded over data while activations
     rotate over pipe; numerics unchanged."""
@@ -102,6 +104,7 @@ def test_pipeline_dp_pp_composition(mlp_stages, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # 43 s warm: pytree-activation schedule compile
 def test_pipeline_pytree_activations(mlp_stages, rng):
     """Pytree activations: the conditioning leaf rides the pipe unchanged
     while the token leaf transforms (the DiT (tokens, c) pattern)."""

@@ -119,6 +119,7 @@ def test_dit_sequence_parallel_matches_unsharded():
     assert max(jax.tree.leaves(diffs)) < 1e-4
 
 
+@pytest.mark.slow  # 47 s warm: conditional token-sharded DiT vs unsharded
 def test_dit_sequence_parallel_conditional():
     mesh = make_mesh(axis_names=("seq",))
     plain = DiT(**_DIT_KW, num_classes=10)

@@ -152,6 +152,7 @@ def test_wavegrad_unet_s2d():
     assert out.shape == (2, 16, 16, 3)
 
 
+@pytest.mark.slow  # 45 s warm: s2d flagship train + 2 sampler compiles
 def test_flagship_s2d_train_and_sample():
     """The config-plumbed s2d flagship runs a train step and the fused
     sampling scan at the public CIFAR shapes."""
