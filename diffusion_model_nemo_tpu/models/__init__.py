@@ -40,9 +40,23 @@ def restore_model_from_archive(path: str, use_ema: bool = False, trainer=None):
     was recorded restore as :class:`DDPM` (with a log note) — the class only
     changes training/eval behavior, not the sampling surface the serving
     daemon uses.
+
+    ``path`` may also be a LOCAL-hub model name (utils/hub.py), so every
+    archive-taking CLI (eval/serve/distill/...) accepts
+    ``model_path=<hub name>`` directly.
     """
+    import os
+
     from ..training import load_archive
     from ..utils import logging
+
+    if not os.path.exists(str(path)):
+        from ..utils import hub as hub_lib
+
+        resolved = hub_lib.resolve_model_name(str(path))
+        if resolved is not None:
+            logging.info(f"Resolved hub model {path!r} -> {resolved}")
+            path = str(resolved)
 
     _, _, _, extra = load_archive(path)
     name = (extra or {}).get("model_class")

@@ -328,6 +328,17 @@ class AbstractDiffusionModel:
 
     @classmethod
     def restore_from(cls, path: str, trainer=None, use_ema: bool = False):
+        import os
+
+        if not os.path.exists(str(path)):
+            # not a path: maybe a LOCAL-hub model name (utils/hub.py) — this
+            # makes every archive-taking CLI accept model_path=<hub name>
+            from ..utils import hub as hub_lib
+
+            resolved = hub_lib.resolve_model_name(str(path))
+            if resolved is not None:
+                logging.info(f"Resolved hub model {path!r} -> {resolved}")
+                path = str(resolved)
         cfg, params, ema, _ = ckpt_lib.load_archive(path)
         model = cls(cfg=cfg, trainer=trainer)
         model.params = from_np(ema if (use_ema and ema is not None) else params)
@@ -349,27 +360,52 @@ class AbstractDiffusionModel:
     @classmethod
     def from_pretrained(cls, model_name: str, trainer=None, use_ema: bool = False, **_compat):
         """Hub-name loading surface (reference examples/*/test_*.py:83 falls
-        back to NeMo's NGC hub when no local archive is given). This build has
-        no model hub — and the reference publishes no checkpoints either
-        (``list_available_models`` is None there, reference
-        abstract_diffusion_model.py:127-128) — so a local archive path is
-        delegated to :meth:`restore_from` and anything else fails loudly
+        back to NeMo's NGC hub when no local archive is given). On this
+        zero-egress build the hub is a LOCAL directory of ``.dmn`` archives
+        (``$DMN_MODEL_HUB``, default ``~/.cache/dmn_hub`` — utils/hub.py):
+        an existing path restores directly; otherwise the name resolves in
+        the hub; an unknown name fails loudly listing what IS installed
         instead of silently returning None."""
         import os
 
+        from ..utils import hub as hub_lib
+
         if os.path.exists(str(model_name)):
             return cls.restore_from(str(model_name), trainer=trainer, use_ema=use_ema)
-        raise NotImplementedError(
-            f"{cls.__name__}.from_pretrained({model_name!r}): no model hub in "
-            "this build and no models are published for the reference either; "
-            "use restore_from(path) with a local .dmn archive"
+        resolved = hub_lib.resolve_model_name(str(model_name))
+        if resolved is not None:
+            return cls.restore_from(str(resolved), trainer=trainer, use_ema=use_ema)
+        available = [m.pretrained_model_name for m in hub_lib.list_hub_models()]
+        raise FileNotFoundError(
+            f"{cls.__name__}.from_pretrained({model_name!r}): not a path and "
+            f"not installed in the local hub {hub_lib.hub_dir()} "
+            f"(installed: {available or 'none'}). Publish with "
+            "model.publish_to_hub(name) or copy a .dmn archive into the hub "
+            "directory; the reference itself publishes no checkpoints "
+            "(list_available_models is None, reference "
+            "abstract_diffusion_model.py:127-128)."
         )
+
+    def publish_to_hub(self, model_name: str) -> str:
+        """Save this model into the local hub under ``model_name`` so any
+        process on the machine can ``from_pretrained(model_name)`` it."""
+        import os
+        import tempfile
+
+        from ..utils import hub as hub_lib
+
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, f"{model_name}.dmn")
+            self.save_to(tmp)
+            return str(hub_lib.publish_archive(tmp, model_name))
 
     @classmethod
     def list_available_models(cls):
-        """No published models (same as reference
-        abstract_diffusion_model.py:127-128)."""
-        return None
+        """Models installed in the LOCAL hub (the reference returns None —
+        it publishes nothing; abstract_diffusion_model.py:127-128)."""
+        from ..utils import hub as hub_lib
+
+        return hub_lib.list_hub_models() or None
 
 
 def from_np(tree):
