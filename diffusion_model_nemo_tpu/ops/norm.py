@@ -201,6 +201,12 @@ def _pallas_forward_bm(x, gamma, beta, groups, eps, scale=None, shift=None,
     hw_chunk = max(min(HW, (2 * 1024 * 1024) // (C * LB * 4)), 8)
 
     blk = pl.BlockSpec((HW, C, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    # gamma/beta are broadcast to a single (C, LB) tile shared by every grid
+    # step — their index_map must pin block (0, 0) (a (0, i) map would walk
+    # off the lane axis for i > 0 and only "worked" via Pallas' out-of-bounds
+    # block clamping; ADVICE r4). FiLM scale/shift below are genuinely
+    # per-sample [C, B] and keep the per-block (0, i) map.
+    cl0 = pl.BlockSpec((C, LB), lambda i: (0, 0), memory_space=pltpu.VMEM)
     cl = pl.BlockSpec((C, LB), lambda i: (0, i), memory_space=pltpu.VMEM)
     film = scale is not None
     kern = functools.partial(
@@ -218,7 +224,7 @@ def _pallas_forward_bm(x, gamma, beta, groups, eps, scale=None, shift=None,
             kern_film,
             out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
             grid=(B // LB,),
-            in_specs=[blk, cl, cl, cl, cl],
+            in_specs=[blk, cl0, cl0, cl, cl],
             out_specs=blk,
             input_output_aliases={0: 0},
             interpret=interpret,
@@ -228,7 +234,7 @@ def _pallas_forward_bm(x, gamma, beta, groups, eps, scale=None, shift=None,
             kern,
             out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
             grid=(B // LB,),
-            in_specs=[blk, cl, cl],
+            in_specs=[blk, cl0, cl0],
             out_specs=blk,
             input_output_aliases={0: 0},
             interpret=interpret,

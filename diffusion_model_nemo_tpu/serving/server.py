@@ -752,51 +752,71 @@ class SamplingServer:
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
+            def _decode_and_submit(self):
+                """Payload decode + submit_* call; returns (images, fmt).
+
+                ValueError/TypeError/KeyError/binascii.Error raised here are
+                the CLIENT's fault (bad base64/npy, wrong shape/range,
+                non-numeric strength/guidance, failed submit validation) —
+                faults inside the sampling worker surface as RuntimeError
+                (``req.error`` re-raise) and map to 500 in ``do_POST``.
+                """
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                seed = payload.get("seed")
+                fmt = payload.get("format", "png")
+                timeout = float(payload.get("timeout", 600.0))
+                if self.path == "/vocode":
+                    blob = payload.get("mel_npy")
+                    if not blob:
+                        raise ValueError("mel_npy (base64 of an np.save'd [N,F,n_mels] array) is required")
+                    arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                    images = server.batcher.submit_vocode(arr, seed=seed, timeout=timeout)
+                    fmt = "npy"  # waveforms have no PNG form
+                elif self.path == "/edit":
+                    blob = payload.get("images_npy")
+                    if not blob:
+                        raise ValueError("images_npy (base64 of an np.save'd [N,H,W,C] array) is required")
+                    arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                    images = server.batcher.submit_edit(
+                        arr, strength=float(payload.get("strength", 0.5)),
+                        seed=seed, timeout=timeout,
+                    )
+                elif self.path == "/super_resolve":
+                    blob = payload.get("images_npy")
+                    if not blob:
+                        raise ValueError("images_npy (base64 of an np.save'd [N,h,w,C] array) is required")
+                    arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
+                    images = server.batcher.submit_sr(arr, seed=seed, timeout=timeout)
+                else:
+                    n = int(payload.get("num_images", 1))
+                    label = payload.get("label")
+                    guidance = payload.get("guidance_scale")
+                    images = server.batcher.submit(
+                        n, seed=seed, label=label, timeout=timeout,
+                        guidance_scale=guidance,
+                        text=payload.get("text"),
+                        negative_text=payload.get("negative_text"),
+                    )
+                return images, fmt
+
             def do_POST(self):
                 if self.path not in ("/sample", "/super_resolve", "/vocode", "/edit"):
                     self._json(404, {"error": f"no route {self.path}"})
                     return
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
-                    seed = payload.get("seed")
-                    fmt = payload.get("format", "png")
-                    timeout = float(payload.get("timeout", 600.0))
-                    if self.path == "/vocode":
-                        blob = payload.get("mel_npy")
-                        if not blob:
-                            self._json(400, {"error": "mel_npy (base64 of an np.save'd [N,F,n_mels] array) is required"})
-                            return
-                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
-                        images = server.batcher.submit_vocode(arr, seed=seed, timeout=timeout)
-                        fmt = "npy"  # waveforms have no PNG form
-                    elif self.path == "/edit":
-                        blob = payload.get("images_npy")
-                        if not blob:
-                            self._json(400, {"error": "images_npy (base64 of an np.save'd [N,H,W,C] array) is required"})
-                            return
-                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
-                        images = server.batcher.submit_edit(
-                            arr, strength=float(payload.get("strength", 0.5)),
-                            seed=seed, timeout=timeout,
-                        )
-                    elif self.path == "/super_resolve":
-                        blob = payload.get("images_npy")
-                        if not blob:
-                            self._json(400, {"error": "images_npy (base64 of an np.save'd [N,h,w,C] array) is required"})
-                            return
-                        arr = np.load(io.BytesIO(base64.b64decode(blob)), allow_pickle=False)
-                        images = server.batcher.submit_sr(arr, seed=seed, timeout=timeout)
-                    else:
-                        n = int(payload.get("num_images", 1))
-                        label = payload.get("label")
-                        guidance = payload.get("guidance_scale")
-                        images = server.batcher.submit(
-                            n, seed=seed, label=label, timeout=timeout,
-                            guidance_scale=guidance,
-                            text=payload.get("text"),
-                            negative_text=payload.get("negative_text"),
-                        )
+                    try:
+                        images, fmt = self._decode_and_submit()
+                    except (ValueError, TypeError, KeyError, binascii.Error) as e:
+                        # CLIENT fault — 400 is scoped to payload decode +
+                        # submit validation only (ADVICE r4): a genuine
+                        # server-side bug of these types in the response path
+                        # below still reports 500.
+                        self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    except TimeoutError as e:
+                        self._json(504, {"error": f"{type(e).__name__}: {e}"})
+                        return
                     if fmt == "npy":
                         buf = io.BytesIO()
                         np.save(buf, images)
@@ -810,15 +830,6 @@ class SamplingServer:
                         self._json(200, {"images": [_png_b64(im) for im in images]})
                     else:
                         self._json(400, {"error": f"unknown format {fmt!r}"})
-                except (ValueError, TypeError, KeyError, binascii.Error) as e:
-                    # malformed payloads and failed submit_* validation
-                    # (bad base64/npy, wrong shape/range, non-numeric
-                    # strength/guidance, out-of-range strength...) are the
-                    # CLIENT's fault — 400, so callers can distinguish bad
-                    # requests from server faults (ADVICE r3).
-                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
-                except TimeoutError as e:
-                    self._json(504, {"error": f"{type(e).__name__}: {e}"})
                 except Exception as e:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

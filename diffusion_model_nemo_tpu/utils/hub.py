@@ -66,9 +66,14 @@ def list_hub_models() -> List[PretrainedModelInfo]:
     if not root.is_dir():
         return []
     out = []
+    seen = set()
     for p in sorted(root.glob("*.dmn")) + sorted(root.glob("*/*.dmn")):
         if p.parent != root and p.parent.name != p.stem:
             continue  # only <hub>/<name>.dmn or <hub>/<name>/<name>.dmn
+        if p.stem in seen:
+            continue  # both layouts installed: flat wins, matching
+            # resolve_model_name's precedence (ADVICE r4)
+        seen.add(p.stem)
         out.append(
             PretrainedModelInfo(
                 pretrained_model_name=p.stem, location=str(p),

@@ -61,7 +61,11 @@ def test_group_norm_silu_batch_minor_kernel(monkeypatch):
     grads (backward recomputes through the reference)."""
     monkeypatch.setenv("DMN_TPU_PALLAS_NORM_BM", "interpret")
     rng = np.random.RandomState(4)
-    for B, H, W, C, groups in ((128, 8, 8, 32, 8), (128, 4, 4, 64, 8)):
+    # B=256 exercises the multi-block grid: gamma/beta tiles must pin block
+    # (0, 0) for every grid step (ADVICE r4 — a (0, i) map only worked via
+    # undocumented out-of-bounds block clamping)
+    for B, H, W, C, groups in ((128, 8, 8, 32, 8), (128, 4, 4, 64, 8),
+                               (256, 4, 4, 32, 8)):
         x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32), jnp.bfloat16)
         gamma = jnp.asarray(rng.randn(C).astype(np.float32))
         beta = jnp.asarray(rng.randn(C).astype(np.float32))
