@@ -11,12 +11,23 @@ tqdm bars around hot loops, SURVEY §5).
 from __future__ import annotations
 
 import contextlib
+import gzip
+import json
 import time
-from typing import Iterator, Optional
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 
-__all__ = ["trace", "annotate", "StepTimer"]
+__all__ = [
+    "trace",
+    "annotate",
+    "StepTimer",
+    "categorize_op",
+    "parse_trace_categories",
+    "profile_categories",
+]
 
 
 @contextlib.contextmanager
@@ -32,6 +43,73 @@ def trace(log_dir: str, create_perfetto_link: bool = False) -> Iterator[None]:
 def annotate(name: str):
     """Named region annotation that shows up in profiler traces."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def categorize_op(name: str) -> str:
+    """Device-trace op name → coarse category (the round-1 profiling recipe
+    from tools/profile_sampler.py, shared so bench.py's step_budget leg and
+    the tools agree on the taxonomy)."""
+    n = name.lower()
+    # "convolution" before generic substrings: "convert_reduce_fusion" must
+    # land in reduce, not conv (a round-3 misattribution that inflated the
+    # conv category with GroupNorm stat reductions).
+    if "convolution" in n:
+        return "conv"
+    if "attn" in n or "custom-call" in n:
+        return "custom-call"
+    for key in ("reduce", "copy", "transpose", "rng", "threefry", "dot",
+                "dynamic-slice", "dynamic_update", "scatter", "gather",
+                "all-reduce", "bitcast", "broadcast", "iota", "fusion"):
+        if key in n:
+            return key
+    return "other"
+
+
+def parse_trace_categories(
+    trace_dir: Path,
+) -> Tuple[float, Dict[str, float], Dict[str, float]]:
+    """Sum 'X' (complete) events on the TPU device tracks of a profiler
+    trace dir; returns (total_ms, ms_by_category, ms_by_op_name)."""
+    files = list(Path(trace_dir).rglob("*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(files[0], "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    tpu_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+        and "pjrt" not in str(e.get("args", {}).get("name", "")).lower()
+    }
+    by_name: Dict[str, float] = defaultdict(float)
+    by_cat: Dict[str, float] = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            dur = e.get("dur", 0) / 1e3  # us → ms
+            by_name[e["name"]] += dur
+            by_cat[categorize_op(e["name"])] += dur
+            total += dur
+    return total, dict(by_cat), dict(by_name)
+
+
+def profile_categories(
+    run: Callable[[], None],
+) -> Tuple[float, Dict[str, float], Dict[str, float]]:
+    """Run ``run()`` under ``jax.profiler`` and return the device-time
+    summary (total_ms, ms_by_category, ms_by_op_name). ``run`` must block
+    until the device work is done (``.block_until_ready()``)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        jax.profiler.start_trace(d)
+        try:
+            run()
+        finally:
+            jax.profiler.stop_trace()
+        return parse_trace_categories(Path(d))
 
 
 class StepTimer:

@@ -40,7 +40,16 @@ def _run_bench(extra_env, timeout=420):
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert lines, f"no JSON lines in stdout: {proc.stdout[-2000:]}"
     records = [json.loads(l) for l in lines]
-    # every emission is a full record with the headline keys
+    # every full emission is immediately followed by a compact summary line —
+    # the LAST printed line must always be a compact one (the driver's
+    # 2000-char tail window parses that line; BENCH_r04 lesson)
+    assert records[-1].get("compact") is True
+    compacts = [r for r in records if r.get("compact")]
+    for c in compacts:
+        assert len(json.dumps(c)) < 1500, f"compact line too long: {len(json.dumps(c))}"
+        assert "value" in c and "vs_baseline" in c
+    records = [r for r in records if not r.get("compact")]
+    # every full emission is a record with the headline keys
     for r in records:
         assert r["unit"] == "samples/sec/chip"
         assert "value" in r and "vs_baseline" in r

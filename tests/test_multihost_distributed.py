@@ -44,11 +44,12 @@ def _clean_env():
     return env
 
 
-def _run_leg(nprocs, outdir):
+def _run_leg(nprocs, outdir, strategy="ddp"):
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), str(nprocs), str(port), str(outdir)],
+            [sys.executable, str(WORKER), str(pid), str(nprocs), str(port),
+             str(outdir), strategy],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=_clean_env(),
@@ -63,7 +64,8 @@ def _run_leg(nprocs, outdir):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
     assert "WORKER-OK" in outs[0]
-    return dict(np.load(Path(outdir) / f"result_np{nprocs}.npz"))
+    tag = "" if strategy == "ddp" else f"_{strategy}"
+    return dict(np.load(Path(outdir) / f"result{tag}_np{nprocs}.npz"))
 
 
 def test_two_process_dp_step_matches_single_process(tmp_path):
@@ -88,4 +90,25 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             got[k], ref[k], err_msg=f"{k} diverged between 2-process and "
             "single-process runs", **tol,
+        )
+
+
+def test_two_process_fsdp_step_matches_single_process(tmp_path):
+    """The SAME Trainer step with fsdp: params/grads/optimizer state sharded
+    over the global ``data`` axis spanning both processes (ZeRO-3 layout,
+    VERDICT r4 #6) — the worker allgathers sharded leaves before the dump,
+    so the comparison covers cross-process parameter sharding, not just DP
+    batch math."""
+    got = _run_leg(2, tmp_path, strategy="fsdp")
+    ref = _run_leg(1, tmp_path, strategy="fsdp")
+    assert set(got) == set(ref) and len(got) > 10
+    for k in sorted(ref):
+        tol = (
+            dict(rtol=1e-4, atol=2e-6)
+            if k == "LOSS" or k.startswith("GRAD")
+            else dict(rtol=1e-3, atol=5e-5)
+        )
+        np.testing.assert_allclose(
+            got[k], ref[k], err_msg=f"fsdp: {k} diverged between 2-process "
+            "and single-process runs", **tol,
         )

@@ -90,7 +90,11 @@ def transplant(tnet):
     }
 
 
-def test_training_loss_trajectory_matches_torch_reference():
+def run_parity(steps: int = STEPS):
+    """Run the torch-replica and framework training loops on identical
+    inputs; returns the per-step loss curves and max deltas. Shared by the
+    parity test below and bench.py's driver-visible ``parity`` leg
+    (tools/parity_probe.py)."""
     torch.manual_seed(0)
     tnet = TUnet(dim=8, channels=1, groups=4)
     fnet = Unet(dim=8, channels=1, dim_mults=[1, 2], use_convnext=False, resnet_block_groups=4)
@@ -109,14 +113,14 @@ def test_training_loss_trajectory_matches_torch_reference():
     # Pre-drawn shared batches: the reference draws torch RNG, we draw
     # jax.random — parity needs identical inputs, so both consume these.
     rng = np.random.RandomState(42)
-    x0s = rng.randn(STEPS, B, 8, 8, 1).astype(np.float32)
-    noises = rng.randn(STEPS, B, 8, 8, 1).astype(np.float32)
-    ts = rng.randint(0, T, size=(STEPS, B)).astype(np.int64)
+    x0s = rng.randn(steps, B, 8, 8, 1).astype(np.float32)
+    noises = rng.randn(steps, B, 8, 8, 1).astype(np.float32)
+    ts = rng.randint(0, T, size=(steps, B)).astype(np.int64)
 
     # ---- torch side: reference training_step math (models/ddpm.py:43-77) ----
     opt = torch.optim.AdamW(tnet.parameters(), lr=LR, betas=BETAS, weight_decay=0.0)
     t_losses = []
-    for i in range(STEPS):
+    for i in range(steps):
         x0 = torch.from_numpy(x0s[i]).permute(0, 3, 1, 2)
         noise = torch.from_numpy(noises[i]).permute(0, 3, 1, 2)
         t = torch.from_numpy(ts[i])
@@ -148,20 +152,39 @@ def test_training_loss_trajectory_matches_torch_reference():
         return optax.apply_updates(params, updates), opt_state, loss
 
     f_losses = []
-    for i in range(STEPS):
+    for i in range(steps):
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(x0s[i]), jnp.asarray(noises[i]), jnp.asarray(ts[i])
         )
         f_losses.append(float(loss))
 
+    final_torch = transplant(tnet)
+    max_param_delta = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(final_torch))
+    )
+    return {
+        "t_losses": t_losses,
+        "f_losses": f_losses,
+        "max_loss_delta": float(np.max(np.abs(np.asarray(f_losses) - np.asarray(t_losses)))),
+        "max_param_delta": max_param_delta,
+        "final_params": params,
+        "final_torch": final_torch,
+    }
+
+
+def test_training_loss_trajectory_matches_torch_reference():
+    res = run_parity()
+
     # Loss curves match step for step (float32 accumulation differences only;
     # measured ~1e-6 relative over the 8 AdamW steps).
-    np.testing.assert_allclose(f_losses, t_losses, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(res["f_losses"], res["t_losses"], rtol=1e-4, atol=1e-6)
 
     # And the optimized parameters stay in lockstep after STEPS updates.
     # Adam divides by sqrt(v_hat): where v is near zero, float noise in the
     # grads is amplified into the update, so params get a slightly looser
     # bound than the losses (measured worst case 2e-4 on one element).
-    final_torch = transplant(tnet)
-    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(final_torch)):
+    for a, b in zip(
+        jax.tree.leaves(res["final_params"]), jax.tree.leaves(res["final_torch"])
+    ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)

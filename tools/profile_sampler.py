@@ -8,57 +8,15 @@ gather and Pallas-layout costs.
 Usage: python tools/profile_sampler.py [dim] [batch] [timesteps]
 """
 
-import gzip
-import json
 import sys
 import tempfile
-from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def categorize(name: str) -> str:
-    n = name.lower()
-    # "convolution" before generic substrings: "convert_reduce_fusion" must
-    # land in reduce, not conv (a round-3 misattribution that inflated the
-    # conv category with GroupNorm stat reductions).
-    if "convolution" in n:
-        return "conv"
-    if "attn" in n or "custom-call" in n:
-        return "custom-call"
-    for key in ("reduce", "copy", "transpose", "rng", "threefry", "dot",
-                "dynamic-slice", "dynamic_update", "scatter", "gather",
-                "all-reduce", "bitcast", "broadcast", "iota", "fusion"):
-        if key in n:
-            return key
-    return "other"
-
-
-def parse_trace(trace_dir: Path):
-    files = list(trace_dir.rglob("*.trace.json.gz"))
-    assert files, f"no trace under {trace_dir}"
-    with gzip.open(files[0], "rt") as f:
-        data = json.load(f)
-    events = data["traceEvents"]
-    # Find TPU device pids
-    tpu_pids = {
-        e["pid"]
-        for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "TPU" in str(e.get("args", {}).get("name", ""))
-        and "pjrt" not in str(e.get("args", {}).get("name", "")).lower()
-    }
-    by_name = defaultdict(float)
-    by_cat = defaultdict(float)
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            dur = e.get("dur", 0) / 1e3  # us → ms
-            by_name[e["name"]] += dur
-            by_cat[categorize(e["name"])] += dur
-            total += dur
-    return total, by_cat, by_name
+from diffusion_model_nemo_tpu.utils.profiling import (  # noqa: E402
+    parse_trace_categories as parse_trace,
+)
 
 
 def main():
