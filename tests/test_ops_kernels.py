@@ -7,6 +7,7 @@ hardware; these tests pin the semantics + gradients of the public ops.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from diffusion_model_nemo_tpu.ops.attention import attention_reference, fused_attention
@@ -502,6 +503,8 @@ def test_small_attn_block_module_dispatch(monkeypatch):
     )
 
 
+@pytest.mark.slow  # 29 s: interpret-mode kernels over the full shape grid;
+# the single-shape packed/small-block tests above keep quick coverage
 def test_packed_and_small_block_kernels_shape_sweep():
     """Interpret-mode sweep across every (B, N, C, heads) the dispatchers can
     legally fire for — guards the lane-offset arithmetic (J-token packing,
