@@ -386,6 +386,37 @@ def test_http_surface(batcher):
         server._httpd.server_close()
 
 
+def test_response_path_fault_reports_500_not_400(batcher, monkeypatch):
+    """The 400 mapping is scoped to payload decode + submit validation
+    (ADVICE r4): a server-side bug of a client-looking exception type
+    (ValueError) raised AFTER validation — here in the PNG encode of the
+    response path — must surface as 500, not as the caller's fault."""
+    import diffusion_model_nemo_tpu.serving.server as server_mod
+
+    def boom(im):
+        raise ValueError("server-side encode bug")
+
+    monkeypatch.setattr(server_mod, "_png_b64", boom)
+    server = SamplingServer(batcher, host="127.0.0.1", port=0)
+    server.start_background()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/sample",
+            data=json.dumps({"num_images": 1, "seed": 3, "format": "png"}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500, e.code
+            assert "server-side encode bug" in e.read().decode()
+    finally:
+        server._httpd.shutdown()
+        server._httpd.server_close()
+
+
 def test_mesh_sharded_serving_matches_single_device():
     """BatchingSampler(mesh=...) shards each fixed-shape batch over the data
     axis; a seeded request must return the same images as single-device
