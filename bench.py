@@ -639,9 +639,13 @@ def main() -> None:
     _emit()
 
     # ---- north star FIRST: flagship dim-32 fused scan ------------------------
+    # runs=2 (x2 windows): 5 chain dispatches total. In a degraded-tunnel
+    # window each dispatch+host-sync costs minutes (the r5 run-6 northstar
+    # phase alone ate 18.7 min of the budget); 4 timed runs keep the
+    # best-of-window protection at ~70% of the dispatch count.
     r32 = _run_leg(
         "northstar",
-        lambda: _bench_model(dim=32, batch=BATCH, runs=3, peak=peak, hbm_bw=hbm_bw),
+        lambda: _bench_model(dim=32, batch=BATCH, runs=2, peak=peak, hbm_bw=hbm_bw),
         est_s=30,
         emit=False,
     )
@@ -685,7 +689,10 @@ def main() -> None:
         x = jax.random.normal(key, shape)
         t_b = jnp.full((BATCH,), T - 1, jnp.int32)
         np.asarray(step_jit(params, x, t_b, key))  # compile
-        SLICE = 20
+        # 12 steps give a stable per-step estimate (t-independent cost);
+        # 20 cost 98 s of budget when a degraded window put the per-step
+        # dispatch at ~5 s (r5 run 4: 0.20 sps baseline).
+        SLICE = 12
         t0 = time.perf_counter()
         for i in range(SLICE):
             t_b = jnp.full((BATCH,), T - 1 - i, jnp.int32)
