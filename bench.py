@@ -80,8 +80,8 @@ _DEADLINE = [float("inf")]  # monotonic deadline, set in main()
 # expired mid-s2d and the later legs were silently absent).
 _ALL_LEGS = (
     "baseline_eager", "parity", "ref_topo", "train", "ddim50", "distill8",
-    "bpd", "step_budget", "b256", "dpm20", "edm18", "pc_sde", "latent1000",
-    "serving", "quality", "dim128", "tpu_s2d", "dit50",
+    "bpd", "step_budget", "b256", "serving", "latent1000", "dpm20", "edm18",
+    "pc_sde", "quality", "dim128", "tpu_s2d", "dit50",
 )
 
 # Per-leg headline number for the compact summary line (default: "sps").
@@ -884,114 +884,6 @@ def main() -> None:
 
         _run_leg("b256", b256_leg, est_s=45)
 
-    # ---- higher-order ODE solvers ---------------------------------------------
-    if full:
-        from diffusion_model_nemo_tpu.modules import (
-            DPMSolverDiffusion,
-            KarrasDiffusion,
-        )
-
-        _run_leg(
-            "dpm20",
-            lambda: _sampler_leg(
-                DPMSolverDiffusion(
-                    timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
-                ),
-                model_fn, params, shape, runs=5, key_seed=4,
-                extra={"steps": 20, "order": 2},
-            ),
-            est_s=15,
-        )
-        _run_leg(
-            "edm18",
-            lambda: _sampler_leg(
-                KarrasDiffusion(
-                    timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
-                ),
-                model_fn, params, shape, runs=5, key_seed=5,
-                extra={"steps": 18, "order": 2, "nfe": 35},
-            ),
-            est_s=15,
-        )
-
-    # ---- score-SDE predictor-corrector ----------------------------------------
-    if full:
-        def pc_leg():
-            from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
-            from diffusion_model_nemo_tpu.modules.sde_samplers import (
-                PredictorCorrectorSampler,
-            )
-
-            sde = VPSDE(N=1000)
-            pcs = PredictorCorrectorSampler(
-                predictor="reverse_diffusion", corrector="langevin", snr=0.16, n_steps=1
-            )
-            pcs.update_sde(sde)
-            fused = jax.jit(lambda p, k: pcs.sample(model_fn, p, shape, k))
-            key = jax.random.PRNGKey(3)
-            fused(params, key).block_until_ready()
-            t0 = time.perf_counter()
-            out = fused(params, jax.random.fold_in(key, 1))
-            out.block_until_ready()
-            sec = time.perf_counter() - t0
-            return {"sps": round(BATCH / sec, 2), "nfe": 1000 * 2,
-                    "predictor": "reverse_diffusion", "corrector": "langevin"}
-
-        _run_leg("pc_sde", pc_leg, est_s=25)
-
-    # ---- latent diffusion leg: 1000-step DDPM on f=2 VAE latents --------------
-    # Same public workload (CIFAR 32x32 images out) via the LatentDiffusion
-    # family: the dim-32 U-Net runs on 16x16x4 latents (4x fewer spatial
-    # positions per network call) + ONE decoder pass — the architecture-level
-    # route to faster sampling that keeps full-resolution decoding.
-    if full:
-        def latent_leg():
-            from diffusion_model_nemo_tpu.models import LatentDiffusion
-
-            ld_cfg = {
-                "image_size": IMG,
-                "timesteps": T,
-                "channels": 3,
-                "save_every": 0,
-                "first_stage": {
-                    "autoencoder": {
-                        "_target_": "diffusion_model_nemo.modules.AutoencoderKL",
-                        "dim": 32, "dim_mults": [1, 2], "z_channels": 4,
-                        "channels": 3, "dtype": "bfloat16",
-                    }
-                },
-                "diffusion_model": {
-                    "_target_": "diffusion_model_nemo.modules.Unet",
-                    "input_dim": IMG // 2, "dim": 32, "channels": 4,
-                    "dim_mults": [1, 2, 2], "dtype": "bfloat16",
-                },
-                "sampler": {
-                    "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
-                    "timesteps": T, "schedule_name": "cosine",
-                },
-                "loss": {"_target_": "diffusion_model_nemo.loss.DiffusionLoss",
-                         "loss_type": "l2"},
-                "optim": {"name": "adamw", "lr": 1e-3},
-            }
-            ld = LatentDiffusion(cfg=ld_cfg)
-            ld.init_params(jax.random.PRNGKey(0))
-            key = jax.random.PRNGKey(7)
-            ld.sample(batch_size=BATCH, image_size=IMG, key=key).block_until_ready()
-            t0 = time.perf_counter()
-            RUNS = 3
-            out = None
-            for i in range(RUNS):
-                out = ld.sample(
-                    batch_size=BATCH, image_size=IMG, key=jax.random.fold_in(key, i)
-                )
-            out.block_until_ready()
-            sec = (time.perf_counter() - t0) / RUNS
-            n_unet = sum(int(p.size) for p in jax.tree.leaves(ld.params))
-            return {"sps": round(BATCH / sec, 1), "steps": T,
-                    "latent": "16x16x4", "unet_params": n_unet}
-
-        _run_leg("latent1000", latent_leg, est_s=30)
-
     # ---- serving-path throughput (production daemon, DDIM-50) -----------------
     # End-to-end images/sec through BatchingSampler.submit(): request queue ->
     # coalescing -> fixed-shape device batch -> on-device uint8 -> per-request
@@ -1051,6 +943,114 @@ def main() -> None:
             }
 
         _run_leg("serving", serving_leg, est_s=40)
+
+    # ---- latent diffusion leg: 1000-step DDPM on f=2 VAE latents --------------
+    # Same public workload (CIFAR 32x32 images out) via the LatentDiffusion
+    # family: the dim-32 U-Net runs on 16x16x4 latents (4x fewer spatial
+    # positions per network call) + ONE decoder pass — the architecture-level
+    # route to faster sampling that keeps full-resolution decoding.
+    if full:
+        def latent_leg():
+            from diffusion_model_nemo_tpu.models import LatentDiffusion
+
+            ld_cfg = {
+                "image_size": IMG,
+                "timesteps": T,
+                "channels": 3,
+                "save_every": 0,
+                "first_stage": {
+                    "autoencoder": {
+                        "_target_": "diffusion_model_nemo.modules.AutoencoderKL",
+                        "dim": 32, "dim_mults": [1, 2], "z_channels": 4,
+                        "channels": 3, "dtype": "bfloat16",
+                    }
+                },
+                "diffusion_model": {
+                    "_target_": "diffusion_model_nemo.modules.Unet",
+                    "input_dim": IMG // 2, "dim": 32, "channels": 4,
+                    "dim_mults": [1, 2, 2], "dtype": "bfloat16",
+                },
+                "sampler": {
+                    "_target_": "diffusion_model_nemo.modules.GaussianDiffusion",
+                    "timesteps": T, "schedule_name": "cosine",
+                },
+                "loss": {"_target_": "diffusion_model_nemo.loss.DiffusionLoss",
+                         "loss_type": "l2"},
+                "optim": {"name": "adamw", "lr": 1e-3},
+            }
+            ld = LatentDiffusion(cfg=ld_cfg)
+            ld.init_params(jax.random.PRNGKey(0))
+            key = jax.random.PRNGKey(7)
+            ld.sample(batch_size=BATCH, image_size=IMG, key=key).block_until_ready()
+            t0 = time.perf_counter()
+            RUNS = 3
+            out = None
+            for i in range(RUNS):
+                out = ld.sample(
+                    batch_size=BATCH, image_size=IMG, key=jax.random.fold_in(key, i)
+                )
+            out.block_until_ready()
+            sec = (time.perf_counter() - t0) / RUNS
+            n_unet = sum(int(p.size) for p in jax.tree.leaves(ld.params))
+            return {"sps": round(BATCH / sec, 1), "steps": T,
+                    "latent": "16x16x4", "unet_params": n_unet}
+
+        _run_leg("latent1000", latent_leg, est_s=30)
+
+    # ---- higher-order ODE solvers ---------------------------------------------
+    if full:
+        from diffusion_model_nemo_tpu.modules import (
+            DPMSolverDiffusion,
+            KarrasDiffusion,
+        )
+
+        _run_leg(
+            "dpm20",
+            lambda: _sampler_leg(
+                DPMSolverDiffusion(
+                    timesteps=T, schedule_name="cosine", solver_steps=20, solver_order=2
+                ),
+                model_fn, params, shape, runs=5, key_seed=4,
+                extra={"steps": 20, "order": 2},
+            ),
+            est_s=15,
+        )
+        _run_leg(
+            "edm18",
+            lambda: _sampler_leg(
+                KarrasDiffusion(
+                    timesteps=T, schedule_name="cosine", solver_steps=18, solver_order=2
+                ),
+                model_fn, params, shape, runs=5, key_seed=5,
+                extra={"steps": 18, "order": 2, "nfe": 35},
+            ),
+            est_s=15,
+        )
+
+    # ---- score-SDE predictor-corrector ----------------------------------------
+    if full:
+        def pc_leg():
+            from diffusion_model_nemo_tpu.modules.sde_lib import VPSDE
+            from diffusion_model_nemo_tpu.modules.sde_samplers import (
+                PredictorCorrectorSampler,
+            )
+
+            sde = VPSDE(N=1000)
+            pcs = PredictorCorrectorSampler(
+                predictor="reverse_diffusion", corrector="langevin", snr=0.16, n_steps=1
+            )
+            pcs.update_sde(sde)
+            fused = jax.jit(lambda p, k: pcs.sample(model_fn, p, shape, k))
+            key = jax.random.PRNGKey(3)
+            fused(params, key).block_until_ready()
+            t0 = time.perf_counter()
+            out = fused(params, jax.random.fold_in(key, 1))
+            out.block_until_ready()
+            sec = time.perf_counter() - t0
+            return {"sps": round(BATCH / sec, 2), "nfe": 1000 * 2,
+                    "predictor": "reverse_diffusion", "corrector": "langevin"}
+
+        _run_leg("pc_sde", pc_leg, est_s=25)
 
     # ---- quality leg (seeded tiny train + random-extractor FID) --------------
     if full:
